@@ -1,0 +1,57 @@
+"""Result rendering in the reference CLI's output format.
+
+The per-sequence result line and the 50-column pretty alignment blocks are
+the de-facto parity surface for CLI tests
+(reference: src/opal_aligner.cpp:170-188, printAlignment :304-340).
+"""
+from __future__ import annotations
+
+from .constants import ALIGN_DEL, ALIGN_INS
+from .result import SearchResult
+
+
+def result_line(index: int, res: SearchResult) -> str:
+    parts = [f"#{index}: {res.score}"]
+    if res.start_location_query >= 0:
+        parts.append(f"({res.start_location_query}, {res.start_location_target})")
+    else:
+        parts.append("(?, ?)")
+    if res.end_location_query >= 0:
+        parts.append(f"({res.end_location_query}, {res.end_location_target})")
+    else:
+        parts.append("(?, ?)")
+    return " ".join(parts)
+
+
+def render_alignment(query, target, res: SearchResult, alphabet: str) -> str:
+    """50-column alignment blocks, identical to printAlignment
+    (reference: src/opal_aligner.cpp:304-340)."""
+    out = []
+    t_idx = res.start_location_target
+    q_idx = res.start_location_query
+    aln = res.alignment
+    n = res.alignment_length
+    for start in range(0, n, 50):
+        chunk = aln[start : min(start + 50, n)]
+        row = ["T: "]
+        start_t = t_idx
+        for op in chunk:
+            if op == ALIGN_DEL:
+                row.append("_")
+            else:
+                row.append(alphabet[target[t_idx]])
+                t_idx += 1
+        row.append(f" ({max(start_t, 0)} - {t_idx - 1})")
+        out.append("".join(row))
+        row = ["Q: "]
+        start_q = q_idx
+        for op in chunk:
+            if op == ALIGN_INS:
+                row.append("_")
+            else:
+                row.append(alphabet[query[q_idx]])
+                q_idx += 1
+        row.append(f" ({max(start_q, 0)} - {q_idx - 1})")
+        out.append("".join(row))
+        out.append("")
+    return "\n".join(out)

@@ -1,0 +1,214 @@
+"""Alignment reconstruction: banded DP + backtrace.
+
+Host-side (NumPy) port of the reference's ``findAlignment``
+(reference: src/opal.cpp:1236-1431) with identical semantics:
+
+- the DP always starts at the top-left corner (NW-style boundaries) and the
+  stop/score rules follow the requested mode;
+- only cells inside the score-bound band are computed (out-of-band cells get
+  the -inf sentinel), and the column loop stops early once the running max
+  score reaches ``score_limit``;
+- the backtrace prefers E over F over the diagonal when fields tie
+  (src/opal.cpp:1376-1398), and leading indels at the matrix border are
+  appended manually (src/opal.cpp:1400-1409).
+
+Per-pair work is small and irregular (band-shaped, data-dependent early
+stop), which is hostile to XLA's static shapes, so this stage deliberately
+runs on the host while the scoring pass runs on TPU. Columns are vectorized
+over the in-band rows with the same exact max-plus rewrite used in
+``oracle.dp_matrix`` (valid for gap_ext <= gap_open; scalar fallback
+otherwise).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .bandmath import band_borders
+from .constants import (
+    ALIGN_DEL,
+    ALIGN_INS,
+    ALIGN_MATCH,
+    ALIGN_MISMATCH,
+    MODE_HW,
+    MODE_NW,
+    MODE_OV,
+    MODE_SW,
+)
+
+INT_MIN = -(2**31)
+
+
+class AlignmentError(Exception):
+    pass
+
+
+def find_alignment(query, target, gap_open, gap_ext, matrix, score_limit, mode):
+    """Returns (score, end_query, end_target, ops) where ops is a uint8 array
+    of ALIGN_* codes covering the alignment from the top-left corner to the
+    end location. Mirrors findAlignment (src/opal.cpp:1236-1431)."""
+    query = np.asarray(query, dtype=np.int64)
+    target = np.asarray(target, dtype=np.int64)
+    Q, T = len(query), len(target)
+    Go, Ge = int(gap_open), int(gap_ext)
+    m = np.asarray(matrix, dtype=np.int64)
+    M = int(m.max())
+
+    bottom, top = band_borders(score_limit, mode, Q, T, Go, Ge, M)
+    if not (0 <= bottom < Q and 0 <= top < T):
+        raise AlignmentError(
+            f"no band for score_limit={score_limit} (band=({bottom},{top}))"
+        )
+
+    LSB = INT_MIN + max(Go, Ge)  # reference: src/opal.cpp:1265
+
+    P = m[query][:, target]  # profile: P[r, c]
+
+    # Full (column-major in the reference; here [Q, T]) H/E/F matrices.
+    Hm = np.full((Q, T), LSB, dtype=np.int32)
+    Em = np.full((Q, T), LSB, dtype=np.int32)
+    Fm = np.full((Q, T), LSB, dtype=np.int32)
+
+    prevH = -Go - np.arange(Q, dtype=np.int64) * Ge  # initial column H
+    prevE = np.full(Q, LSB, dtype=np.int64)
+
+    vectorized = Ge <= Go
+    max_score = INT_MIN  # max among cells that could be final
+    H_last = INT_MIN     # value of the last computed cell in the column
+    c = 0
+    while c < T and max_score < score_limit:
+        rs = max(0, c - top)
+        re = min(Q - 1, c + bottom)  # inclusive
+        if rs == 0:
+            uF = LSB
+            uH = -Go - c * Ge
+            ulH0 = 0 if c == 0 else uH + Ge
+        else:
+            uH = uF = LSB
+            ulH0 = int(prevH[rs - 1])
+
+        n = re - rs + 1
+        pH = prevH[rs : re + 1]
+        pE = prevE[rs : re + 1]
+        E = np.maximum(pH - Go, pE - Ge)
+        ulH = np.empty(n, dtype=np.int64)
+        ulH[0] = ulH0
+        if n > 1:
+            ulH[1:] = prevH[rs : re]
+        Hp = np.maximum(E, ulH + P[rs : re + 1, c])
+        if vectorized:
+            # F chain via exact max-plus prefix (see module docstring).
+            C = np.empty(n, dtype=np.int64)
+            C[0] = max(uH - Go, uF - Ge)
+            if n > 1:
+                C[1:] = Hp[:-1] - Go
+            ridx = np.arange(n, dtype=np.int64)
+            F = np.maximum.accumulate(C + ridx * Ge) - ridx * Ge
+            Hcol = np.maximum(Hp, F)
+        else:
+            F = np.empty(n, dtype=np.int64)
+            Hcol = np.empty(n, dtype=np.int64)
+            fuH, fuF = uH, uF
+            for i in range(n):
+                Fi = max(fuH - Go, fuF - Ge)
+                Hi = max(int(Hp[i]), Fi)
+                F[i] = Fi
+                Hcol[i] = Hi
+                fuF, fuH = Fi, Hi
+
+        Hm[rs : re + 1, c] = Hcol
+        Em[rs : re + 1, c] = E
+        Fm[rs : re + 1, c] = F
+        H_last = int(Hcol[-1])
+
+        if mode == MODE_SW:
+            max_score = max(max_score, int(Hcol.max()))
+        elif mode == MODE_OV and c == T - 1:
+            max_score = max(max_score, int(Hcol.max()))
+        if mode in (MODE_HW, MODE_OV):
+            # reference tracks the last *computed* cell of the column as the
+            # "last row" (src/opal.cpp:1329-1331)
+            max_score = max(max_score, H_last)
+
+        # next column's prev state: full columns (out-of-band rows hold LSB)
+        prevH = Hm[:, c].copy()
+        prevE = Em[:, c].copy()
+        c += 1
+
+    last_col = c - 1
+
+    # Score and end location (reference: src/opal.cpp:1336-1362).
+    if mode == MODE_NW:
+        score = H_last
+        end_t, end_q = T - 1, Q - 1
+    elif mode == MODE_HW:
+        score = max_score
+        end_t, end_q = last_col, Q - 1
+    elif mode in (MODE_SW, MODE_OV):
+        score = max_score
+        end_t = last_col
+        col = Hm[:, last_col]
+        idx = np.nonzero(col == max_score)[0]
+        if idx.size == 0:
+            raise AlignmentError("end location not found in last column")
+        end_q = int(idx[0])
+    else:
+        raise ValueError(f"invalid mode {mode}")
+
+    # Backtrace (reference: src/opal.cpp:1364-1416). Fields: 0=H, 1=E, 2=F.
+    ops: list[int] = []
+    r, cc = end_q, end_t
+    field = 0
+    while r >= 0 and cc >= 0:
+        if field == 0:
+            h, e, f = int(Hm[r, cc]), int(Em[r, cc]), int(Fm[r, cc])
+            if h == e:
+                field = 1
+            elif h == f:
+                field = 2
+            else:
+                ops.append(ALIGN_MATCH if query[r] == target[cc] else ALIGN_MISMATCH)
+                r -= 1
+                cc -= 1
+        elif field == 1:
+            if cc > 0:
+                field = 0 if int(Em[r, cc]) == int(Hm[r, cc - 1]) - Go else 1
+            ops.append(ALIGN_INS)
+            cc -= 1
+        else:
+            if r > 0:
+                field = 0 if int(Fm[r, cc]) == int(Hm[r - 1, cc]) - Go else 2
+            ops.append(ALIGN_DEL)
+            r -= 1
+    while r >= 0:
+        ops.append(ALIGN_DEL)
+        r -= 1
+    while cc >= 0:
+        ops.append(ALIGN_INS)
+        cc -= 1
+
+    return score, end_q, end_t, np.asarray(ops[::-1], dtype=np.uint8)
+
+
+def align_pair_reverse_trick(
+    query, target, gap_open, gap_ext, matrix, score, end_q, end_t, mode
+):
+    """Find start location + ops for one pair whose (score, end location) is
+    already known, using the reference's reverse-alignment trick
+    (reference: src/opal.cpp:1475-1504): align reversed prefixes with
+    score_limit = known score; the end found on the reversed pair is the
+    start on the forward pair.
+
+    Returns (start_q, start_t, ops) with ops in forward order.
+    """
+    aq = np.asarray(query[: end_q + 1], dtype=np.uint8)[::-1]
+    at = np.asarray(target[: end_t + 1], dtype=np.uint8)[::-1]
+    rscore, rend_q, rend_t, rops = find_alignment(
+        aq, at, gap_open, gap_ext, matrix, score, mode
+    )
+    if rscore != score:
+        raise AlignmentError(
+            f"reverse-pass score {rscore} != known score {score}"
+        )
+    start_q = len(aq) - rend_q - 1
+    start_t = len(at) - rend_t - 1
+    return start_q, start_t, rops[::-1].copy()
