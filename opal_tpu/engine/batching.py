@@ -1,0 +1,70 @@
+"""Length-bucketed batching of the database.
+
+The reference keeps SIMD lanes busy with a dynamic per-column sequence-refill
+conveyor (reference: loadNextSequence, src/opal.cpp:472-490). Dynamic refill
+is hostile to XLA's static shapes, so the TPU-native equivalent is host-side
+*length-sorted bucketing*: sequences are sorted by length, grouped into
+fixed-width blocks, and padded to a bucketed column count, with in-kernel
+masking handling residual raggedness. Sorting bounds padding waste the same
+way the reference's docs recommend sorting the DB for lane efficiency
+(src/opal.h:103-104).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def pad_bucket(n: int, quantum: int = 32, ratio: float = 1.25) -> int:
+    """Smallest value >= n from a geometric grid of padded column counts.
+
+    Bucketing the padded length bounds both padding waste (<= ratio) and the
+    number of distinct compiled kernel shapes (log_ratio(maxlen) values).
+    """
+    b = quantum
+    while b < n:
+        b = max(b + quantum, int(-(-b * ratio // quantum) * quantum))
+    return b
+
+
+@dataclasses.dataclass
+class Block:
+    indices: np.ndarray   # [nb] original DB indices (nb <= batch)
+    letters: np.ndarray   # [T_pad, batch] uint8, padded lanes/columns hold 0
+    lengths: np.ndarray   # [batch] int32, padded lanes hold 0
+    t_pad: int
+
+    @property
+    def n(self) -> int:
+        return len(self.indices)
+
+
+def plan_blocks(db, batch: int, subset=None) -> list[Block]:
+    """Split (a subset of) the database into length-sorted padded blocks.
+
+    db: list of uint8 index arrays. subset: optional iterable of DB indices to
+    include (used for per-sequence rerun in the SIMPLE overflow strategy).
+    """
+    if subset is None:
+        subset = range(len(db))
+    idx = np.fromiter(subset, dtype=np.int64)
+    if idx.size == 0:
+        return []
+    lens = np.array([len(db[i]) for i in idx], dtype=np.int64)
+    order = np.argsort(lens, kind="stable")
+    idx = idx[order]
+
+    blocks = []
+    for s in range(0, idx.size, batch):
+        part = idx[s : s + batch]
+        maxlen = max(len(db[i]) for i in part)
+        t_pad = pad_bucket(int(maxlen))
+        letters = np.zeros((t_pad, batch), dtype=np.uint8)
+        lengths = np.zeros(batch, dtype=np.int32)
+        for lane, i in enumerate(part):
+            seq = db[i]
+            letters[: len(seq), lane] = seq
+            lengths[lane] = len(seq)
+        blocks.append(Block(indices=part, letters=letters, lengths=lengths, t_pad=t_pad))
+    return blocks

@@ -1,0 +1,220 @@
+"""Top-level database search: the public API of the engine.
+
+Mirrors the contract of the reference's ``opalSearchDatabase``
+(reference: src/opal.h:150-154, src/opal.cpp:1435-1519):
+
+- dispatch on mode (SW / NW / HW / OV) and search type (score / score+end /
+  full alignment);
+- skip semantics: sequences whose passed-in results already carry a score
+  (and end location when needed) are not recomputed, and their stored values
+  are trusted by the alignment pass (src/opal.cpp:1446-1451);
+- the alignment pass runs the reverse-pair banded traceback per sequence with
+  score_limit = the known score (src/opal.cpp:1475-1507);
+- the adaptive precision cascade and its two overflow strategies are
+  implemented in engine/cascade.py and behave identically at the output level.
+
+The scoring pass itself is batched: the DB is length-bucketed into padded
+blocks (engine/batching.py) and each block is scored on the accelerator
+(engine/xla.py or the Pallas TPU kernels in engine/pallas_kernels.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..constants import (
+    MODE_HW,
+    MODE_NW,
+    MODE_OV,
+    MODE_SW,
+    OVERFLOW_BUCKETS,
+    SEARCH_ALIGNMENT,
+    SEARCH_SCORE,
+)
+from ..result import SearchResult
+from ..traceback import align_pair_reverse_trick
+from .batching import plan_blocks
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    backend: str = "auto"     # "auto" | "xla" | "pallas"
+    block_size: int = 512     # sequences per scored block (lane count)
+    # Precision stages for the adaptive cascade; int32 alone disables it.
+    # (The TPU VPU has no throughput cliff between int8/int16/int32 the way
+    # SSE/AVX lane-splitting does, so int32-direct is the default; the
+    # cascade exists for API parity and for the int16 fast path.)
+    precision: str = "int32"  # "int32" | "adaptive"
+
+
+class Engine:
+    def __init__(self, config: Optional[EngineConfig] = None, **kw):
+        self.config = config or EngineConfig(**kw)
+        self._backend = None
+
+    def _resolve_backend(self):
+        if self._backend is not None:
+            return self._backend
+        name = self.config.backend
+        if name == "auto":
+            import jax
+
+            name = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if name == "pallas":
+            from . import pallas_backend
+
+            self._backend = pallas_backend.PallasBackend()
+        else:
+            from . import xla_backend
+
+            self._backend = xla_backend.XlaBackend()
+        return self._backend
+
+    def score_blocks(
+        self,
+        query: np.ndarray,
+        db: Sequence[np.ndarray],
+        gap_open: int,
+        gap_ext: int,
+        matrix: np.ndarray,
+        mode: int,
+        search_type: int,
+        subset=None,
+    ):
+        """Score (a subset of) the DB. Returns dict of per-db-index arrays
+        (score [+ end_q/end_t]) as an (indices, columns) pair."""
+        backend = self._resolve_backend()
+        blocks = plan_blocks(db, self.config.block_size, subset=subset)
+        qprofile = np.ascontiguousarray(
+            np.asarray(matrix, dtype=np.int32)[np.asarray(query, dtype=np.int64)]
+        )  # [Q, A] -> rows indexed by db letter: we need [A, Q]
+        qprofile = qprofile.T.copy()  # [A, Q]
+
+        all_idx = []
+        cols: dict[str, list] = {}
+        for blk in blocks:
+            out = backend.score_block(
+                qprofile,
+                blk,
+                int(gap_open),
+                int(gap_ext),
+                mode,
+                search_type,
+            )
+            n = blk.n
+            all_idx.append(blk.indices)
+            for k, v in out.items():
+                cols.setdefault(k, []).append(np.asarray(v)[:n])
+        if not all_idx:
+            return np.zeros(0, np.int64), {}
+        idx = np.concatenate(all_idx)
+        return idx, {k: np.concatenate(v) for k, v in cols.items()}
+
+
+_default_engine: Optional[Engine] = None
+
+
+def get_default_engine() -> Engine:
+    global _default_engine
+    if _default_engine is None:
+        _default_engine = Engine()
+    return _default_engine
+
+
+def search_database(
+    query,
+    db,
+    gap_open: int = 3,
+    gap_ext: int = 1,
+    matrix=None,
+    mode: int = MODE_SW,
+    search_type: int = SEARCH_SCORE,
+    overflow_method: int = OVERFLOW_BUCKETS,
+    results: Optional[list[SearchResult]] = None,
+    engine: Optional[Engine] = None,
+) -> list[SearchResult]:
+    """Search the database with the query; see module docstring.
+
+    query: uint8 alphabet-index array. db: list of uint8 index arrays.
+    matrix: [A, A] int array. results: optional pre-filled results to reuse
+    (skip semantics). Returns the (possibly passed-in) list of SearchResult.
+    """
+    if mode not in (MODE_NW, MODE_HW, MODE_OV, MODE_SW):
+        raise ValueError(f"invalid mode {mode}")
+    if matrix is None:
+        raise ValueError("matrix is required")
+    engine = engine or get_default_engine()
+    query = np.asarray(query, dtype=np.uint8)
+    n = len(db)
+    if results is None:
+        results = [SearchResult() for _ in range(n)]
+
+    # Skip already-calculated sequences (reference: src/opal.cpp:1446-1451).
+    track_end = search_type != SEARCH_SCORE
+    skip = np.array(
+        [
+            (not r.is_empty())
+            and (
+                search_type == SEARCH_SCORE
+                or (r.end_location_query >= 0 and r.end_location_target >= 0)
+            )
+            for r in results
+        ],
+        dtype=bool,
+    )
+    todo = np.nonzero(~skip)[0]
+
+    if todo.size:
+        idx, cols = engine.score_blocks(
+            query, db, gap_open, gap_ext, matrix, mode, search_type, subset=todo
+        )
+        for j, i in enumerate(idx):
+            r = results[i]
+            r.set_score(int(cols["score"][j]))
+            if track_end:
+                if mode == MODE_SW and r.score == 0:
+                    r.end_location_query = -1
+                    r.end_location_target = -1
+                else:
+                    r.end_location_query = int(cols["end_q"][j])
+                    r.end_location_target = int(cols["end_t"][j])
+            else:
+                r.end_location_query = -1
+                r.end_location_target = -1
+
+    if search_type == SEARCH_ALIGNMENT:
+        for i in range(n):
+            r = results[i]
+            if mode == MODE_SW and r.score == 0:
+                # reference: src/opal.cpp:1479-1483
+                r.alignment = None
+                r.alignment_length = 0
+                r.start_location_query = r.start_location_target = -1
+                r.end_location_query = r.end_location_target = -1
+            else:
+                sq, st, ops = align_pair_reverse_trick(
+                    query,
+                    db[i],
+                    gap_open,
+                    gap_ext,
+                    matrix,
+                    r.score,
+                    r.end_location_query,
+                    r.end_location_target,
+                    mode,
+                )
+                r.start_location_query = sq
+                r.start_location_target = st
+                r.alignment = ops
+                r.alignment_length = len(ops)
+    else:
+        # reference: src/opal.cpp:1508-1515
+        for r in results:
+            r.alignment = None
+            r.alignment_length = -1
+            r.start_location_query = -1
+            r.start_location_target = -1
+
+    return results

@@ -1,0 +1,257 @@
+"""Batched scoring engine, pure-XLA path (jax.lax.scan).
+
+This is the portable implementation of the batched column-at-a-time DP: it
+runs on CPU (tests, multi-chip dry-runs) and TPU, and defines the exact
+batched semantics that the Pallas kernel path reproduces. One call scores a
+*block* of `B` padded database sequences against the query — the TPU-native
+analog of the reference's SIMD lanes, where each lane carries one DB sequence
+(reference: src/opal.cpp:164-470 for SW, :594-977 for NW/HW/OV), with
+host-side length bucketing replacing the reference's dynamic lane refill.
+
+Key vectorization: the in-column F chain F[r] = max(H[r-1]-Go, F[r-1]-Ge) is
+exact as a max-plus prefix over the F-independent part H' of H whenever
+Ge <= Go (if F[r-1] won H[r-1], its via-H candidate F[r-1]-Go is dominated by
+F[r-1]-Ge). That turns the whole column into a handful of [B, Q] vector ops
+plus one cummax. For Ge > Go a sequential in-column scan is used instead.
+
+All arithmetic is int32; with the engine's input constraints (|scores|,
+gaps < 2^20, sequence lengths < 2^20) no intermediate can overflow, so int32
+results equal the reference's escalated-precision results exactly. Overflow
+*flags* for the adaptive-precision cascade are computed analytically from the
+int32 values (see engine/cascade.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import MODE_HW, MODE_NW, MODE_OV, MODE_SW, SEARCH_SCORE
+
+NEG = -(2**30)  # -inf sentinel: always dominated by real scores, never wraps
+
+
+def _column_f_chain_prefix(C, ge_ramp):
+    """F[r] = max_{j<=r} (C[j] - (r-j)*Ge) via cummax; ge_ramp = arange(Q)*Ge."""
+    return jax.lax.cummax(C + ge_ramp, axis=1) - ge_ramp
+
+
+def _column_update(prevH, prevE, P, u0, go, ge, ge_ramp, sw):
+    """One DP column for all lanes. prevH/prevE/P: [B, Q]; u0 = (ulH0, uH0, uF0)
+    boundary scalars from the virtual row -1. Returns (H, E)."""
+    ul0, uH0, uF0 = u0
+    E = jnp.maximum(prevH - go, prevE - ge)
+    ulH = jnp.concatenate(
+        [jnp.full_like(prevH[:, :1], 0) + ul0, prevH[:, :-1]], axis=1
+    )
+    Hp = jnp.maximum(E, ulH + P)
+    if sw:
+        Hp = jnp.maximum(Hp, 0)
+    c0 = jnp.maximum(uH0 - go, uF0 - ge)
+    C = jnp.concatenate([jnp.full_like(Hp[:, :1], 0) + c0, Hp[:, :-1] - go], axis=1)
+    F = _column_f_chain_prefix(C, ge_ramp)
+    H = jnp.maximum(Hp, F)
+    return H, E, F, ulH + P
+
+
+def _column_update_seq(prevH, prevE, P, u0, go, ge, sw):
+    """Sequential in-column scan (exact for any go/ge, used when ge > go)."""
+    ul0, uH0, uF0 = u0
+    B, Q = prevH.shape
+    ul0 = jnp.broadcast_to(jnp.asarray(ul0, prevH.dtype), (B,))
+    uH0 = jnp.broadcast_to(jnp.asarray(uH0, prevH.dtype), (B,))
+    uF0 = jnp.broadcast_to(jnp.asarray(uF0, prevH.dtype), (B,))
+
+    def body(carry, xs):
+        uH, uF, ulH = carry
+        ph, pe, p = xs
+        E = jnp.maximum(ph - go, pe - ge)
+        F = jnp.maximum(uH - go, uF - ge)
+        ulhp = ulH + p
+        H = jnp.maximum(jnp.maximum(E, F), ulhp)
+        if sw:
+            H = jnp.maximum(H, 0)
+        return (H, F, ph), (H, E, F, ulhp)
+
+    xs = (prevH.T, prevE.T, P.T)  # scan over Q
+    _, (H, E, F, ulhp) = jax.lax.scan(body, (uH0, uF0, ul0), xs)
+    return H.T, E.T, F.T, ulhp.T
+
+
+@functools.lru_cache(maxsize=None)
+def build_score_fn(
+    mode: int,
+    search_type: int,
+    Q: int,
+    go: int,
+    ge: int,
+    with_flags: bool = False,
+):
+    """Build a jitted block scorer.
+
+    Returned fn(qprofile[A, Q] int32, letters[T, B] int32, lengths[B] int32)
+    -> dict of [B] arrays: score, and per search_type/mode: end_q, end_t; per
+    with_flags: max_ulhp (SW) or min_e/min_f/max_h (NW modes).
+    """
+    sw = mode == MODE_SW
+    track_end = search_type != SEARCH_SCORE
+    use_prefix = ge <= go
+
+    def fn(qprofile, letters, lengths):
+        T, B = letters.shape
+        i32 = jnp.int32
+        ge_ramp = (jnp.arange(Q, dtype=i32) * ge)[None, :]
+
+        if sw:
+            prevH = jnp.zeros((B, Q), i32)
+            prevE = jnp.zeros((B, Q), i32)
+        else:
+            if mode == MODE_OV:
+                prevH = jnp.zeros((B, Q), i32)
+            else:
+                prevH = jnp.broadcast_to(
+                    -go - jnp.arange(Q, dtype=i32) * ge, (B, Q)
+                )
+            prevE = jnp.full((B, Q), NEG, i32)
+
+        carry = {"prevH": prevH, "prevE": prevE}
+        if sw:
+            carry["best"] = jnp.zeros(B, i32)
+            if track_end:
+                carry["best_r"] = jnp.zeros(B, i32)
+                carry["best_c"] = jnp.zeros(B, i32)
+        else:
+            carry["score_nw"] = jnp.full(B, NEG, i32)
+            carry["lr_max"] = jnp.full(B, NEG, i32)
+            if mode == MODE_OV:
+                carry["ov_colmax"] = jnp.full(B, NEG, i32)
+            if track_end:
+                carry["lr_argcol"] = jnp.zeros(B, i32)
+                if mode == MODE_OV:
+                    carry["ov_prev_lrm"] = jnp.full(B, NEG, i32)
+                    carry["ov_argrow"] = jnp.zeros(B, i32)
+        if with_flags:
+            carry["max_ulhp"] = jnp.full(B, NEG, i32)
+            if not sw:
+                carry["min_e"] = jnp.zeros(B, i32)
+                carry["min_f"] = jnp.zeros(B, i32)
+                carry["max_h"] = jnp.full(B, NEG, i32)
+
+        def step(carry, xs):
+            t, letters_t = xs
+            P = jnp.take(qprofile, letters_t, axis=0)  # [B, Q]
+            if sw:
+                u0 = (jnp.asarray(0, i32), jnp.asarray(0, i32), jnp.asarray(0, i32))
+            elif mode == MODE_NW:
+                uH0 = (-go - t * ge).astype(i32)
+                ul0 = jnp.where(t == 0, 0, uH0 + ge).astype(i32)
+                u0 = (ul0, uH0, jnp.asarray(NEG, i32))
+            else:
+                u0 = (jnp.asarray(0, i32), jnp.asarray(0, i32), jnp.asarray(NEG, i32))
+
+            if use_prefix:
+                H, E, F, ulhp = _column_update(
+                    carry["prevH"], carry["prevE"], P, u0, go, ge, ge_ramp, sw
+                )
+            else:
+                H, E, F, ulhp = _column_update_seq(
+                    carry["prevH"], carry["prevE"], P, u0, go, ge, sw
+                )
+
+            valid = t < lengths  # [B]
+            is_end = t == lengths - 1
+            out = dict(carry)
+            out["prevH"], out["prevE"] = H, E
+
+            if sw:
+                colmax = jnp.max(H, axis=1)
+                improved = valid & (colmax > carry["best"])
+                out["best"] = jnp.where(improved, colmax, carry["best"])
+                if track_end:
+                    argrow = jnp.argmax(H, axis=1).astype(i32)
+                    out["best_r"] = jnp.where(improved, argrow, carry["best_r"])
+                    out["best_c"] = jnp.where(improved, t, carry["best_c"])
+            else:
+                lastrow = H[:, Q - 1]
+                out["score_nw"] = jnp.where(is_end, lastrow, carry["score_nw"])
+                if mode == MODE_OV:
+                    if track_end:
+                        # snapshot BEFORE this column's last-row update
+                        # (reference: prevMaxLastRowH, src/opal.cpp:746,886-903)
+                        out["ov_prev_lrm"] = jnp.where(
+                            is_end, carry["lr_max"], carry["ov_prev_lrm"]
+                        )
+                    colmax = jnp.max(H, axis=1)
+                    out["ov_colmax"] = jnp.where(is_end, colmax, carry["ov_colmax"])
+                    if track_end:
+                        argrow = jnp.argmax(H, axis=1).astype(i32)
+                        out["ov_argrow"] = jnp.where(
+                            is_end, argrow, carry["ov_argrow"]
+                        )
+                lr_improved = valid & (lastrow > carry["lr_max"])
+                out["lr_max"] = jnp.where(lr_improved, lastrow, carry["lr_max"])
+                if track_end:
+                    out["lr_argcol"] = jnp.where(
+                        lr_improved, t, carry["lr_argcol"]
+                    )
+
+            if with_flags:
+                vmask = valid[:, None]
+                out["max_ulhp"] = jnp.maximum(
+                    carry["max_ulhp"],
+                    jnp.max(jnp.where(vmask, ulhp, NEG), axis=1),
+                )
+                if not sw:
+                    out["min_e"] = jnp.minimum(
+                        carry["min_e"], jnp.min(jnp.where(vmask, E, 0), axis=1)
+                    )
+                    out["min_f"] = jnp.minimum(
+                        carry["min_f"], jnp.min(jnp.where(vmask, F, 0), axis=1)
+                    )
+                    out["max_h"] = jnp.maximum(
+                        carry["max_h"], jnp.max(jnp.where(vmask, H, NEG), axis=1)
+                    )
+            return out, None
+
+        ts = jnp.arange(T, dtype=i32)
+        carry, _ = jax.lax.scan(step, carry, (ts, letters.astype(i32)))
+
+        outs = {}
+        if sw:
+            outs["score"] = carry["best"]
+            if track_end:
+                outs["end_q"] = carry["best_r"]
+                outs["end_t"] = carry["best_c"]
+        elif mode == MODE_NW:
+            outs["score"] = carry["score_nw"]
+            if track_end:
+                outs["end_q"] = jnp.full_like(carry["score_nw"], Q - 1)
+                outs["end_t"] = lengths - 1
+        elif mode == MODE_HW:
+            outs["score"] = carry["lr_max"]
+            if track_end:
+                outs["end_q"] = jnp.full_like(carry["lr_max"], Q - 1)
+                outs["end_t"] = carry["lr_argcol"]
+        else:  # OV
+            outs["score"] = jnp.maximum(carry["ov_colmax"], carry["lr_max"])
+            if track_end:
+                # end in last column iff its max strictly beats the last-row
+                # max over earlier columns (reference: src/opal.cpp:881-904)
+                in_last_col = carry["ov_colmax"] > carry["ov_prev_lrm"]
+                outs["end_q"] = jnp.where(
+                    in_last_col, carry["ov_argrow"], Q - 1
+                )
+                outs["end_t"] = jnp.where(
+                    in_last_col, lengths - 1, carry["lr_argcol"]
+                )
+        if with_flags:
+            outs["max_ulhp"] = carry["max_ulhp"]
+            if not sw:
+                outs["min_e"] = carry["min_e"]
+                outs["min_f"] = carry["min_f"]
+                outs["max_h"] = carry["max_h"]
+        return outs
+
+    return jax.jit(fn)

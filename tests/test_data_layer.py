@@ -1,0 +1,119 @@
+"""Unit tests: FASTA reader, score matrices, band math, batching."""
+import io
+
+import numpy as np
+import pytest
+
+from opal_tpu.bandmath import band_borders, cdiv, gap_penalty
+from opal_tpu.constants import MODE_HW, MODE_NW, MODE_OV, MODE_SW
+from opal_tpu.engine.batching import pad_bucket, plan_blocks
+from opal_tpu.fasta import read_fasta_sequences
+from opal_tpu.matrices import ScoreMatrix
+
+
+def test_blosum50_builtin(blosum50):
+    assert blosum50.alphabet == "ARNDCQEGHILKMFPSTWYVBZX*"
+    assert blosum50.alphabet_length == 24
+    m = blosum50.matrix
+    assert m[0, 0] == 5 and m[4, 4] == 13 and m[17, 17] == 15
+    assert m[23, 23] == 1 and m[0, 23] == -5
+    np.testing.assert_array_equal(m[:23, :23], m[:23, :23].T)  # symmetric core
+
+
+def test_all_builtins_load():
+    for name in ["blosum45", "blosum50", "blosum62", "blosum80", "pam120", "pam250"]:
+        sm = ScoreMatrix.from_name(name)
+        assert sm.matrix.shape == (sm.alphabet_length, sm.alphabet_length)
+
+
+def test_matrix_file_roundtrip(tmp_path):
+    p = tmp_path / "m.mat"
+    p.write_text("A C G T\n2 -1 -1 -1\n-1 2 -1 -1\n-1 -1 2 -1\n-1 -1 -1 2\n")
+    sm = ScoreMatrix.from_file(str(p))
+    assert sm.alphabet == "ACGT"
+    assert sm.matrix[1, 1] == 2 and sm.matrix[0, 3] == -1
+
+
+def test_letter_index_star_catchall(blosum50):
+    lut = blosum50.letter_index()
+    assert lut[ord("A")] == 0
+    assert lut[ord("*")] == 23
+    assert lut[ord("J")] == 23  # not in alphabet -> '*'
+    assert lut[ord("1")] == 23
+
+
+def test_fasta_basic(blosum50):
+    data = b">s1 header\nARN\nDC\n>empty\n>s2\nQE\n"
+    seqs, names, eof = read_fasta_sequences(
+        io.BytesIO(data), blosum50.letter_index(), return_names=True
+    )
+    assert eof
+    assert len(seqs) == 2  # empty record produces no sequence
+    np.testing.assert_array_equal(seqs[0], [0, 1, 2, 3, 4])
+    np.testing.assert_array_equal(seqs[1], [5, 6])
+    assert names == ["s1 header", "s2"]
+
+
+def test_fasta_chunking(blosum50):
+    # max_residues budget: reading stops before a new sequence once exceeded
+    data = b">a\n" + b"A" * 10 + b"\n>b\n" + b"R" * 10 + b"\n>c\n" + b"N" * 5 + b"\n"
+    f = io.BytesIO(data)
+    lut = blosum50.letter_index()
+    s1, eof1 = read_fasta_sequences(f, lut, max_residues=15)
+    assert not eof1 and len(s1) == 2  # a, b read; c deferred
+    s2, eof2 = read_fasta_sequences(f, lut, max_residues=15)
+    assert eof2 and len(s2) == 1 and s2[0].size == 5
+
+
+def test_fasta_headerless_prefix(blosum50):
+    # text before any '>' is a sequence (reference reader behavior)
+    seqs, eof = read_fasta_sequences(io.BytesIO(b"AR\n>x\nND\n"), blosum50.letter_index())
+    assert len(seqs) == 2
+    np.testing.assert_array_equal(seqs[0], [0, 1])
+
+
+def test_cdiv_truncates_toward_zero():
+    assert cdiv(7, 2) == 3 and cdiv(-7, 2) == -3
+    assert cdiv(7, -2) == -3 and cdiv(-7, -2) == 3
+
+
+def test_gap_penalty():
+    assert gap_penalty(0, 3, 1) == 0
+    assert gap_penalty(1, 3, 1) == 3
+    assert gap_penalty(4, 3, 1) == 6
+
+
+@pytest.mark.parametrize("mode", [MODE_SW, MODE_NW, MODE_HW, MODE_OV])
+def test_band_contains_reference_band(mode):
+    # sanity: borders in range and grow as k decreases
+    Q, T, Go, Ge, M = 50, 80, 3, 1, 5
+    prev = (0, 0)
+    for k in range(M * min(Q, T), 0, -25):
+        b, t = band_borders(k, mode, Q, T, Go, Ge, M)
+        if b < 0:
+            continue
+        assert 0 <= b < Q and 0 <= t < T
+        assert b >= prev[0] and t >= prev[1]
+        prev = (b, t)
+
+
+def test_pad_bucket_monotone():
+    vals = [pad_bucket(n) for n in range(1, 3000, 17)]
+    assert all(v >= n for v, n in zip(vals, range(1, 3000, 17)))
+    assert len(set(vals)) < 40  # bounded number of compile shapes
+
+
+def test_plan_blocks_covers_everything():
+    rng = np.random.default_rng(3)
+    db = [rng.integers(0, 4, size=int(rng.integers(5, 300)), dtype=np.uint8)
+          for _ in range(57)]
+    blocks = plan_blocks(db, batch=16)
+    seen = np.concatenate([b.indices for b in blocks])
+    assert sorted(seen.tolist()) == list(range(57))
+    for b in blocks:
+        for lane, i in enumerate(b.indices):
+            assert b.lengths[lane] == len(db[i])
+            np.testing.assert_array_equal(
+                b.letters[: len(db[i]), lane], db[i]
+            )
+            assert (b.letters[len(db[i]):, lane] == 0).all()

@@ -1,0 +1,152 @@
+"""Randomized differential tests: batched engine vs scalar oracle
+(the reference's load-bearing test idea, SURVEY.md §4 / src/test.cpp)."""
+import numpy as np
+import pytest
+
+from opal_tpu.constants import (
+    MODE_HW,
+    MODE_NW,
+    MODE_OV,
+    MODE_SW,
+    SEARCH_ALIGNMENT,
+    SEARCH_SCORE,
+    SEARCH_SCORE_END,
+)
+from opal_tpu.engine.search import Engine, search_database
+from opal_tpu.oracle import search_oracle
+
+from util import check_alignment, random_problem
+
+MODES = [MODE_SW, MODE_NW, MODE_HW, MODE_OV]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return Engine(backend="xla", block_size=16)
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("go,ge", [(3, 1), (11, 1), (5, 5), (1, 4)])
+def test_scores_and_ends_vs_oracle(mode, go, ge, engine):
+    rng = np.random.default_rng(1000 + mode * 10 + go)
+    query, db, matrix = random_problem(
+        rng, n_seqs=37, query_len=90, min_len=10, max_len=300
+    )
+    got = search_database(
+        query, db, go, ge, matrix, mode=mode,
+        search_type=SEARCH_SCORE_END, engine=engine,
+    )
+    want = search_oracle(query, db, go, ge, matrix, mode, SEARCH_SCORE_END)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g.score == w.score, f"seq {i}: score {g.score} != {w.score}"
+        we_q = -1 if w.end_location_query is None else w.end_location_query
+        assert g.end_location_query == we_q, f"seq {i} end_q"
+        assert g.end_location_target == w.end_location_target or (
+            mode == MODE_SW and g.score == 0
+        ), f"seq {i} end_t"
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_score_only(mode, engine):
+    rng = np.random.default_rng(5)
+    query, db, matrix = random_problem(rng, n_seqs=21, query_len=50, max_len=150)
+    got = search_database(
+        query, db, 3, 1, matrix, mode=mode, search_type=SEARCH_SCORE, engine=engine
+    )
+    want = search_oracle(query, db, 3, 1, matrix, mode, SEARCH_SCORE)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g.score == w.score, f"seq {i}"
+        assert g.end_location_query == -1
+        assert g.start_location_query == -1
+        assert g.alignment is None and g.alignment_length == -1
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("go,ge", [(3, 1), (11, 1), (5, 5)])
+def test_alignment_validity(mode, go, ge, engine):
+    """Full-alignment search: ops replay to the reported score/locations."""
+    rng = np.random.default_rng(2000 + mode)
+    query, db, matrix = random_problem(
+        rng, n_seqs=17, query_len=60, min_len=15, max_len=200
+    )
+    got = search_database(
+        query, db, go, ge, matrix, mode=mode,
+        search_type=SEARCH_ALIGNMENT, engine=engine,
+    )
+    want = search_oracle(query, db, go, ge, matrix, mode, SEARCH_SCORE_END)
+    n_checked = 0
+    for i, (g, w, t) in enumerate(zip(got, want, db)):
+        assert g.score == w.score, f"seq {i}"
+        if mode == MODE_SW and g.score == 0:
+            assert g.alignment is None
+            continue
+        check_alignment(query, t, g, go, ge, matrix, mode)
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_skip_semantics(engine):
+    """Pre-filled results are not recomputed; their values feed the
+    alignment pass (reference: src/opal.h:118-122)."""
+    rng = np.random.default_rng(77)
+    query, db, matrix = random_problem(rng, n_seqs=9, query_len=40, max_len=80)
+    first = search_database(
+        query, db, 3, 1, matrix, mode=MODE_SW,
+        search_type=SEARCH_SCORE_END, engine=engine,
+    )
+    # Poison one result: if skip works, the poisoned score survives and the
+    # alignment pass uses it (we pick a real score from another sequence so
+    # the traceback still succeeds).
+    donor = max(range(len(db)), key=lambda i: first[i].score)
+    reused = search_database(
+        query, db, 3, 1, matrix, mode=MODE_SW,
+        search_type=SEARCH_SCORE_END, engine=engine, results=first,
+    )
+    assert reused is first
+    # Now run ALIGNMENT with prefilled results: should not change scores.
+    before = [r.score for r in first]
+    out = search_database(
+        query, db, 3, 1, matrix, mode=MODE_SW,
+        search_type=SEARCH_ALIGNMENT, engine=engine, results=first,
+    )
+    assert [r.score for r in out] == before
+    for r, t in zip(out, db):
+        if r.score > 0:
+            check_alignment(query, t, r, 3, 1, matrix, MODE_SW)
+
+
+def test_single_sequence_and_tiny(engine):
+    """Edge shapes: single-letter query/target, single-sequence DB."""
+    matrix = np.array([[2, -1], [-1, 2]], dtype=np.int32)
+    query = np.array([0], dtype=np.uint8)
+    db = [np.array([0], dtype=np.uint8), np.array([1], dtype=np.uint8)]
+    for mode in MODES:
+        got = search_database(
+            query, db, 3, 1, matrix, mode=mode,
+            search_type=SEARCH_SCORE_END, engine=engine,
+        )
+        want = search_oracle(query, db, 3, 1, matrix, mode, SEARCH_SCORE_END)
+        for g, w in zip(got, want):
+            assert g.score == w.score
+
+
+def test_readme_toy_example(engine):
+    """The reference README's 4-sequence usage example
+    (reference: README.md:33-69: SW, alphabet 4, gaps 3/1); expected scores
+    verified against the reference library."""
+    matrix = np.array(
+        [2, -1, -3, 0, -1, 4, -5, -1, -3, -5, 1, -10, 0, -1, -10, 4],
+        dtype=np.int32,
+    ).reshape(4, 4)
+    query = np.array([0, 1, 3, 2, 1, 0, 3, 0, 1, 1], dtype=np.uint8)
+    db = [
+        np.array([1, 3, 2, 3, 0, 0, 1, 0, 2, 2, 1, 2, 3, 2], dtype=np.uint8),
+        np.array([2, 1, 1, 3, 2, 0, 0, 2, 2, 0, 2, 1], dtype=np.uint8),
+        np.array([0, 0, 2, 1, 0, 3, 1, 1, 2, 3, 2, 1, 0], dtype=np.uint8),
+        np.array([2, 3, 3, 3, 1, 1, 2, 2, 0], dtype=np.uint8),
+    ]
+    got = search_database(
+        query, db, 3, 1, matrix, mode=MODE_SW,
+        search_type=SEARCH_SCORE, engine=engine,
+    )
+    assert [r.score for r in got] == [14, 10, 16, 12]
