@@ -1,0 +1,306 @@
+"""Pallas TPU kernels: batched affine-gap DP scoring.
+
+TPU-native re-design of the reference's SIMD column kernels
+(reference: src/opal.cpp:164-470 SW, :594-977 NW/HW/OV). Design:
+
+- **Lanes = database sequences.** A block of B (default 512) length-bucketed,
+  padded DB sequences advances one DP column per step, exactly like the
+  reference's 8-32 SIMD lanes but 16-64x wider. Host-side length bucketing
+  replaces the reference's dynamic lane refill (hostile to static shapes).
+
+- **Vectorized over the query too.** The reference updates one query row at a
+  time; here the whole [Q, B] column updates at once. The in-column F chain
+  F[r] = max(H[r-1]-Go, F[r-1]-Ge) is exact as a max-plus *prefix scan* over
+  the F-independent part H' of H whenever Ge <= Go (the via-H candidate
+  F[r-1]-Go is dominated by F[r-1]-Ge), computed in log2(Q) Hillis-Steele
+  steps of sublane rolls on the VPU.
+
+- **Query profile via one-hot MXU matmul.** The per-column profile
+  P[r, lane] = matrix[query[r], db_letter[lane]] is a gather the VPU can't
+  do; instead P = QP @ onehot(letters) runs on the otherwise-idle MXU
+  (QP[q, a] = matrix[query[q], a] in bf16 — exact for small integer scores).
+  Only 1 word/lane/column of letters streams from HBM.
+
+- **State lives in VMEM scratch across grid steps** (H, E columns and
+  per-lane trackers); the grid walks target-position chunks with letters
+  auto-double-buffered.
+
+- **int32 arithmetic.** TPU's VPU has no 8/16-bit lane-splitting advantage
+  comparable to SSE/AVX, so the reference's precision cascade maps to: int32
+  direct (always exact), with analytical overflow *flags* for cascade/API
+  parity computed from the same pass (see engine/cascade.py).
+
+Tracker semantics replicate the reference's tie-breaks exactly: best score at
+the smallest target position, then smallest query position (src/opal.h:44-46),
+via strict-improvement updates and first-argmax row selection.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import MODE_HW, MODE_NW, MODE_OV, MODE_SW, SEARCH_SCORE
+
+NEG = -(2**30)
+A_PAD = 128          # one-hot width / MXU contraction dim
+LANE_BLOCK = 512     # default B (DB sequences per kernel call)
+T_CHUNK = 256        # target positions per grid step
+Q_PAD_MAX = 1024     # above this, fall back to the XLA path
+
+# tracker rows in the [8, B] tracker scratch/output
+TR_BEST = 0      # SW best score / NW-HW-OV last-row running max
+TR_BEST_R = 1    # SW best row (query end)
+TR_BEST_C = 2    # SW best col / HW-OV first-improvement column
+TR_NW = 3        # NW score snapshot (H[Q-1] at t == len-1)
+TR_OV_PLRM = 4   # OV prev-last-row-max snapshot at sequence end
+TR_OV_CMAX = 5   # OV last-column max snapshot
+TR_OV_ROW = 6    # OV last-column first-argmax row snapshot
+TR_ULHP = 7      # running max of ulH+P (overflow-flag tracker)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, tr_ref,
+    *, mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge,
+):
+    sw = mode == MODE_SW
+    i32 = jnp.int32
+    row_ids = jax.lax.broadcasted_iota(i32, (Q_pad, B), 0)
+    row_valid = row_ids < Q
+    ramp = row_ids * ge
+    lane_a = jax.lax.broadcasted_iota(i32, (A_PAD, B), 0)
+    lengths = lengths_ref[:]  # [1, B]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        if sw or mode == MODE_OV:
+            h_ref[:] = jnp.zeros((Q_pad, B), i32)
+        else:
+            h_ref[:] = -go - ramp
+        e_ref[:] = jnp.zeros((Q_pad, B), i32) if sw else jnp.full(
+            (Q_pad, B), NEG, i32
+        )
+        tr = jnp.full((8, B), NEG, i32)
+        tr = tr.at[TR_BEST].set(0 if sw else NEG)
+        tr = tr.at[TR_BEST_R].set(0)
+        tr = tr.at[TR_BEST_C].set(0)
+        tr = tr.at[TR_OV_ROW].set(0)
+        tr_ref[:] = tr
+
+    chunk_t0 = pl.program_id(0) * TC
+
+    def column(tt, _):
+        t = chunk_t0 + tt
+        letters_t = letters_ref[pl.ds(tt, 1), :]  # [1, B] i32
+        onehot = (lane_a == letters_t).astype(jnp.bfloat16)  # [A_PAD, B]
+        P = jnp.dot(
+            qp_ref[:], onehot, preferred_element_type=jnp.float32
+        ).astype(i32)  # [Q_pad, B]
+
+        H = h_ref[:]
+        E = e_ref[:]
+        Enew = jnp.maximum(H - go, E - ge)
+
+        # row-0 boundary values (virtual row -1 of this column)
+        if sw:
+            ul0 = jnp.asarray(0, i32)
+            c0 = jnp.asarray(-go, i32)  # max(uH0-go, uF0-ge) with uH0=uF0=0
+        elif mode == MODE_NW:
+            uH0 = (-go - t * ge).astype(i32)
+            ul0 = jnp.where(t == 0, 0, uH0 + ge).astype(i32)
+            c0 = jnp.maximum(uH0 - go, NEG - ge).astype(i32)
+        else:  # HW, OV
+            ul0 = jnp.asarray(0, i32)
+            c0 = jnp.asarray(-go, i32)  # max(0-go, NEG-ge) = -go
+
+        ulH = pltpu.roll(H, 1, axis=0)
+        ulH = jnp.where(row_ids == 0, ul0, ulH)
+        Hp = jnp.maximum(Enew, ulH + P)
+        if sw:
+            Hp = jnp.maximum(Hp, 0)
+
+        # F via max-plus prefix of C[r] (C[0]=row-0 boundary, else H'[r-1]-go)
+        C = pltpu.roll(Hp - go, 1, axis=0)
+        C = jnp.where(row_ids == 0, c0, C)
+        X = C + ramp
+        k = 1
+        while k < Q_pad:
+            shifted = pltpu.roll(X, k, axis=0)
+            X = jnp.maximum(X, jnp.where(row_ids >= k, shifted, NEG))
+            k *= 2
+        F = X - ramp
+        Hnew = jnp.maximum(Hp, F)
+
+        h_ref[:] = Hnew
+        e_ref[:] = Enew
+
+        # ---- trackers ----
+        valid = t < lengths          # [1, B]
+        is_end = t == lengths - 1    # [1, B]
+        tr = tr_ref[:]
+        Hmask = jnp.where(row_valid, Hnew, NEG)
+
+        if sw:
+            colmax = jnp.max(Hmask, axis=0, keepdims=True)  # [1, B]
+            improved = valid & (colmax > tr[TR_BEST : TR_BEST + 1])
+            tr_ref[pl.ds(TR_BEST, 1), :] = jnp.where(
+                improved, colmax, tr[TR_BEST : TR_BEST + 1]
+            )
+            if track_end:
+                cand = jnp.where(
+                    row_valid & (Hnew == colmax), row_ids, Q_pad
+                )
+                argrow = jnp.min(cand, axis=0, keepdims=True)
+                tr_ref[pl.ds(TR_BEST_R, 1), :] = jnp.where(
+                    improved, argrow, tr[TR_BEST_R : TR_BEST_R + 1]
+                )
+                tr_ref[pl.ds(TR_BEST_C, 1), :] = jnp.where(
+                    improved, t, tr[TR_BEST_C : TR_BEST_C + 1]
+                )
+        else:
+            lastrow = Hnew[Q - 1 : Q, :]  # [1, B]
+            if mode == MODE_NW:
+                tr_ref[pl.ds(TR_NW, 1), :] = jnp.where(
+                    is_end, lastrow, tr[TR_NW : TR_NW + 1]
+                )
+            if mode == MODE_OV:
+                # snapshot BEFORE this column's last-row update
+                # (reference: prevMaxLastRowH, src/opal.cpp:746,886-903)
+                if track_end:
+                    tr_ref[pl.ds(TR_OV_PLRM, 1), :] = jnp.where(
+                        is_end, tr[TR_BEST : TR_BEST + 1],
+                        tr[TR_OV_PLRM : TR_OV_PLRM + 1],
+                    )
+                colmax = jnp.max(Hmask, axis=0, keepdims=True)
+                tr_ref[pl.ds(TR_OV_CMAX, 1), :] = jnp.where(
+                    is_end, colmax, tr[TR_OV_CMAX : TR_OV_CMAX + 1]
+                )
+                if track_end:
+                    cand = jnp.where(
+                        row_valid & (Hnew == colmax), row_ids, Q_pad
+                    )
+                    argrow = jnp.min(cand, axis=0, keepdims=True)
+                    tr_ref[pl.ds(TR_OV_ROW, 1), :] = jnp.where(
+                        is_end, argrow, tr[TR_OV_ROW : TR_OV_ROW + 1]
+                    )
+            if mode in (MODE_HW, MODE_OV):
+                lr_improved = valid & (lastrow > tr[TR_BEST : TR_BEST + 1])
+                tr_ref[pl.ds(TR_BEST, 1), :] = jnp.where(
+                    lr_improved, lastrow, tr[TR_BEST : TR_BEST + 1]
+                )
+                if track_end:
+                    tr_ref[pl.ds(TR_BEST_C, 1), :] = jnp.where(
+                        lr_improved, t, tr[TR_BEST_C : TR_BEST_C + 1]
+                    )
+
+        if with_flags:
+            ulhp_max = jnp.max(
+                jnp.where(row_valid & valid, ulH + P, NEG), axis=0,
+                keepdims=True,
+            )
+            tr_ref[pl.ds(TR_ULHP, 1), :] = jnp.maximum(
+                tr[TR_ULHP : TR_ULHP + 1], ulhp_max
+            )
+        return 0
+
+    jax.lax.fori_loop(0, TC, column, 0)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _emit():
+        out_ref[:] = tr_ref[:]
+
+
+@functools.lru_cache(maxsize=None)
+def build_pallas_score_fn(
+    mode: int,
+    search_type: int,
+    Q: int,
+    go: int,
+    ge: int,
+    B: int = LANE_BLOCK,
+    with_flags: bool = False,
+    interpret: bool = False,
+):
+    """Jitted fn(qp_bf16[Q_pad, A_PAD], letters[T, B] i32, lengths[1, B] i32)
+    -> trackers [8, B] i32. T must be a multiple of T_CHUNK."""
+    if ge > go:
+        raise ValueError("pallas path requires gap_ext <= gap_open")
+    track_end = search_type != SEARCH_SCORE
+    Q_pad = _round_up(max(Q, 16), 16)
+    if Q_pad > Q_PAD_MAX:
+        raise ValueError(f"query too long for pallas path ({Q})")
+
+    def fn(qp, letters, lengths):
+        T = letters.shape[0]
+        assert T % T_CHUNK == 0, T
+        grid = (T // T_CHUNK,)
+        kernel = functools.partial(
+            _kernel,
+            mode=mode, track_end=track_end, with_flags=with_flags,
+            Q=Q, Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((Q_pad, A_PAD), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T_CHUNK, B), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, B), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, B), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((Q_pad, B), jnp.int32),
+                pltpu.VMEM((Q_pad, B), jnp.int32),
+                pltpu.VMEM((8, B), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Q_pad * A_PAD * B * T + 40 * Q_pad * B * T,
+                bytes_accessed=4 * T * B + 2 * Q_pad * A_PAD,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(qp, letters, lengths)
+
+    return jax.jit(fn)
+
+
+def finalize_trackers(tr: np.ndarray, mode, search_type, Q, lengths):
+    """Convert raw tracker rows into score/end outputs (host side)."""
+    track_end = search_type != SEARCH_SCORE
+    out = {}
+    if mode == MODE_SW:
+        out["score"] = tr[TR_BEST]
+        if track_end:
+            out["end_q"] = tr[TR_BEST_R]
+            out["end_t"] = tr[TR_BEST_C]
+    elif mode == MODE_NW:
+        out["score"] = tr[TR_NW]
+        if track_end:
+            out["end_q"] = np.full_like(tr[TR_NW], Q - 1)
+            out["end_t"] = lengths - 1
+    elif mode == MODE_HW:
+        out["score"] = tr[TR_BEST]
+        if track_end:
+            out["end_q"] = np.full_like(tr[TR_BEST], Q - 1)
+            out["end_t"] = tr[TR_BEST_C]
+    else:  # OV
+        out["score"] = np.maximum(tr[TR_OV_CMAX], tr[TR_BEST])
+        if track_end:
+            in_last_col = tr[TR_OV_CMAX] > tr[TR_OV_PLRM]
+            out["end_q"] = np.where(in_last_col, tr[TR_OV_ROW], Q - 1)
+            out["end_t"] = np.where(in_last_col, lengths - 1, tr[TR_BEST_C])
+    out["max_ulhp"] = tr[TR_ULHP]
+    return out

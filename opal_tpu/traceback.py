@@ -42,10 +42,24 @@ class AlignmentError(Exception):
     pass
 
 
-def find_alignment(query, target, gap_open, gap_ext, matrix, score_limit, mode):
+def find_alignment(
+    query, target, gap_open, gap_ext, matrix, score_limit, mode,
+    full_band: bool = False,
+):
     """Returns (score, end_query, end_target, ops) where ops is a uint8 array
     of ALIGN_* codes covering the alignment from the top-left corner to the
-    end location. Mirrors findAlignment (src/opal.cpp:1236-1431)."""
+    end location. Mirrors findAlignment (src/opal.cpp:1236-1431).
+
+    All DP arithmetic is int64: where the reference's int arithmetic wraps
+    around INT_MIN (it does when gap_ext == max(gap_open, gap_ext) makes the
+    sentinel hit INT_MIN exactly, e.g. -o 5 -e 5, on which the reference
+    binary segfaults), this implementation keeps exact values and still
+    produces a correct alignment. On configs where the reference is
+    well-defined, results are bit-identical.
+
+    full_band: bypass the score-bound band (compute every cell); used as a
+    fallback when the closed-form band is too narrow for degenerate configs.
+    """
     query = np.asarray(query, dtype=np.int64)
     target = np.asarray(target, dtype=np.int64)
     Q, T = len(query), len(target)
@@ -53,7 +67,10 @@ def find_alignment(query, target, gap_open, gap_ext, matrix, score_limit, mode):
     m = np.asarray(matrix, dtype=np.int64)
     M = int(m.max())
 
-    bottom, top = band_borders(score_limit, mode, Q, T, Go, Ge, M)
+    if full_band:
+        bottom, top = Q - 1, T - 1
+    else:
+        bottom, top = band_borders(score_limit, mode, Q, T, Go, Ge, M)
     if not (0 <= bottom < Q and 0 <= top < T):
         raise AlignmentError(
             f"no band for score_limit={score_limit} (band=({bottom},{top}))"
@@ -64,9 +81,9 @@ def find_alignment(query, target, gap_open, gap_ext, matrix, score_limit, mode):
     P = m[query][:, target]  # profile: P[r, c]
 
     # Full (column-major in the reference; here [Q, T]) H/E/F matrices.
-    Hm = np.full((Q, T), LSB, dtype=np.int32)
-    Em = np.full((Q, T), LSB, dtype=np.int32)
-    Fm = np.full((Q, T), LSB, dtype=np.int32)
+    Hm = np.full((Q, T), LSB, dtype=np.int64)
+    Em = np.full((Q, T), LSB, dtype=np.int64)
+    Fm = np.full((Q, T), LSB, dtype=np.int64)
 
     prevH = -Go - np.arange(Q, dtype=np.int64) * Ge  # initial column H
     prevE = np.full(Q, LSB, dtype=np.int64)
@@ -202,13 +219,24 @@ def align_pair_reverse_trick(
     """
     aq = np.asarray(query[: end_q + 1], dtype=np.uint8)[::-1]
     at = np.asarray(target[: end_t + 1], dtype=np.uint8)[::-1]
-    rscore, rend_q, rend_t, rops = find_alignment(
-        aq, at, gap_open, gap_ext, matrix, score, mode
-    )
-    if rscore != score:
-        raise AlignmentError(
-            f"reverse-pass score {rscore} != known score {score}"
+    try:
+        rscore, rend_q, rend_t, rops = find_alignment(
+            aq, at, gap_open, gap_ext, matrix, score, mode
         )
+        if rscore != score:
+            raise AlignmentError(
+                f"reverse-pass score {rscore} != known score {score}"
+            )
+    except AlignmentError:
+        # Degenerate configs can make the closed-form band too narrow (the
+        # reference crashes on these); recompute with the full band.
+        rscore, rend_q, rend_t, rops = find_alignment(
+            aq, at, gap_open, gap_ext, matrix, score, mode, full_band=True
+        )
+        if rscore != score:
+            raise AlignmentError(
+                f"full-band reverse-pass score {rscore} != known score {score}"
+            )
     start_q = len(aq) - rend_q - 1
     start_t = len(at) - rend_t - 1
     return start_q, start_t, rops[::-1].copy()
