@@ -1,0 +1,139 @@
+"""opal_aligner-compatible command-line interface.
+
+Same flags, same output format as the reference CLI
+(reference: src/opal_aligner.cpp:20-235): ``-a`` mode, ``-o`` gapOpen,
+``-e`` gapExt, ``-m`` matrix name, ``-f`` matrix file, ``-s`` silent,
+``-x`` search level, positional <query.fasta> <db.fasta>. Output per
+sequence: ``#i: score (qstart, tstart) (qend, tend)`` plus optional pretty
+alignment blocks, and the CPU-time / GCUPS trailer.
+
+Run as ``python -m opal_tpu.cli [options] query.fasta db.fasta``.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .constants import (
+    MODE_CODES,
+    OVERFLOW_BUCKETS,
+    SEARCH_ALIGNMENT,
+    SEARCH_SCORE,
+)
+from .engine.search import Engine, search_database
+from .fasta import read_fasta_sequences
+from .matrices import ScoreMatrix
+from .render import render_alignment, result_line
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="opal_tpu",
+        description="TPU-native massive optimal sequence alignment "
+        "(opal_aligner-compatible CLI)",
+    )
+    p.add_argument("-a", dest="mode", default="SW",
+                   choices=sorted(MODE_CODES), help="alignment mode")
+    p.add_argument("-o", dest="gap_open", type=int, default=3,
+                   help="gap opening penalty")
+    p.add_argument("-e", dest="gap_ext", type=int, default=1,
+                   help="gap extension penalty")
+    p.add_argument("-m", dest="matrix_name", default="Blosum50",
+                   help="score matrix name (built-ins: blosum45/50/62/80, "
+                   "pam120/250)")
+    p.add_argument("-f", dest="matrix_file", default=None,
+                   help="score matrix file (overrides -m)")
+    p.add_argument("-s", dest="silent", action="store_true",
+                   help="silent mode: no per-sequence output")
+    p.add_argument("-x", dest="search_type", type=int, default=SEARCH_SCORE,
+                   choices=[0, 1, 2],
+                   help="search level: 0=score, 1=+end location, "
+                   "2=+start location and alignment")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    p.add_argument("--block-size", type=int, default=512,
+                   help="DB sequences per device block")
+    p.add_argument("query")
+    p.add_argument("db")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.matrix_file:
+        score_matrix = ScoreMatrix.from_file(args.matrix_file)
+    else:
+        try:
+            score_matrix = ScoreMatrix.from_name(args.matrix_name)
+        except KeyError:
+            print("Given score matrix name is not valid", file=sys.stderr)
+            return 1
+    mode = MODE_CODES[args.mode]
+    lut = score_matrix.letter_index()
+
+    print(f"Using {args.mode} alignment mode.")
+
+    print("Reading query fasta file...")
+    with open(args.query, "rb") as f:
+        qseqs, _ = read_fasta_sequences(f, lut)
+    query = qseqs[0]
+    print(f"Read query sequence, {len(query)} residues.")
+
+    engine = Engine(backend=args.backend, block_size=args.block_size)
+
+    cpu_time = 0.0
+    db_total_residues = 0
+    db_total_len = 0
+    whole_db_read = False
+    with open(args.db, "rb") as dbf:
+        while not whole_db_read:
+            print("\nReading database fasta file...")
+            db, whole_db_read = read_fasta_sequences(dbf, lut)
+            n_res = sum(len(s) for s in db)
+            print(f"Read {len(db)} database sequences, {n_res} residues total.")
+            db_total_residues += n_res
+            db_total_len += len(db)
+            if whole_db_read:
+                print(
+                    f"Whole database read: {db_total_len} database sequences,"
+                    f" {db_total_residues} residues in total."
+                )
+
+            print("\nComparing query to database...", end="", flush=True)
+            start = time.perf_counter()
+            results = search_database(
+                query, db, args.gap_open, args.gap_ext, score_matrix.matrix,
+                mode=mode, search_type=args.search_type,
+                overflow_method=OVERFLOW_BUCKETS, engine=engine,
+            )
+            cpu_time += time.perf_counter() - start
+            print("\nFinished!")
+
+            if not args.silent:
+                print(
+                    "\n#<i>: <score> (<query start>, <target start>)"
+                    " (<query end>, <target end>)"
+                )
+                base = db_total_len - len(db)
+                for i, (r, t) in enumerate(zip(results, db)):
+                    print(result_line(base + i, r))
+                    if r.alignment is not None:
+                        print(
+                            render_alignment(query, t, r, score_matrix.alphabet),
+                            end="",
+                        )
+                        print()
+
+    print(f"\nCpu time of searching: {cpu_time:.2f}")
+    if args.search_type != SEARCH_ALIGNMENT:
+        gcups = db_total_residues / 1e9 * len(query) / cpu_time if cpu_time else 0.0
+        print(f"GCUPS (giga cell updates per second): {gcups:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,12 +88,14 @@ def _kernel(
         e_ref[:] = jnp.zeros((Q_pad, B), i32) if sw else jnp.full(
             (Q_pad, B), NEG, i32
         )
-        tr = jnp.full((8, B), NEG, i32)
-        tr = tr.at[TR_BEST].set(0 if sw else NEG)
-        tr = tr.at[TR_BEST_R].set(0)
-        tr = tr.at[TR_BEST_C].set(0)
-        tr = tr.at[TR_OV_ROW].set(0)
-        tr_ref[:] = tr
+        tr_rows = jax.lax.broadcasted_iota(i32, (8, B), 0)
+        zero_rows = (
+            (tr_rows == TR_BEST_R)
+            | (tr_rows == TR_BEST_C)
+            | (tr_rows == TR_OV_ROW)
+            | ((tr_rows == TR_BEST) & sw)
+        )
+        tr_ref[:] = jnp.where(zero_rows, 0, NEG)
 
     chunk_t0 = pl.program_id(0) * TC
 
