@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Headline benchmark: SW score-only GCUPS per chip.
+
+Protocol mirrors the reference's published measurement
+(reference: aligner_comparison.md:10-25 — query O74807 (110 aa), SW,
+BLOSUM50, gapOpen=3, gapExt=1, score-only, time excludes I/O): the DB
+resides on-device (the analog of the reference holding it in RAM), the
+search is timed end-to-end including result download, and
+GCUPS = dbResidues x queryLen / time / 1e9 (src/opal_aligner.cpp:204-207).
+
+DB: synthetic Swiss-Prot-like stand-in for the absent uniprot_sprot12071
+fixture (see tools/make_synth_db.py), scaled up so steady-state throughput
+dominates fixed dispatch latency.
+
+Baseline: Opal AVX2 single-core, O74807 vs full Swiss-Prot, 5.2 s
+=> ~4.08 GCUPS (BASELINE.md). vs_baseline = ours / 4.08.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from opal_tpu.constants import MODE_SW, SEARCH_SCORE  # noqa: E402
+from opal_tpu.engine.search import Engine, search_database  # noqa: E402
+from opal_tpu.matrices import ScoreMatrix  # noqa: E402
+
+BASELINE_GCUPS = 4.08  # Opal AVX2 1-core, O74807 vs Swiss-Prot (5.2 s)
+
+QUERY_FASTA = "/root/reference/test_data/query/O74807.fasta"
+
+
+def load_query(sm):
+    if os.path.exists(QUERY_FASTA):
+        from opal_tpu.fasta import read_fasta_file
+
+        qs, _ = read_fasta_file(QUERY_FASTA, sm.letter_index())
+        return qs[0]
+    rng = np.random.default_rng(74807)
+    return rng.integers(0, 20, size=110, dtype=np.uint8)
+
+
+def main():
+    sm = ScoreMatrix.blosum50()
+    query = load_query(sm)
+
+    n_seqs = int(os.environ.get("BENCH_SEQS", "40000"))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from make_synth_db import make_db
+
+    lut = sm.letter_index()
+    seqs = make_db(n_seqs, seed=12071)
+    db = [lut[np.frombuffer(s.encode(), dtype=np.uint8)] for s in seqs]
+    total_residues = sum(len(s) for s in db)
+
+    import jax
+
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    engine = Engine(backend=backend, block_size=1024)
+
+    ddb = engine.upload(db)  # resident DB (excluded, like the reference's I/O)
+
+    def run():
+        t0 = time.perf_counter()
+        res = search_database(
+            query, ddb, 3, 1, sm.matrix, mode=MODE_SW,
+            search_type=SEARCH_SCORE, engine=engine,
+        )
+        dt = time.perf_counter() - t0
+        return dt, res
+
+    run()  # warm-up (compile)
+    times = [run()[0] for _ in range(3)]
+    best = min(times)
+    gcups = total_residues * len(query) / best / 1e9
+
+    print(json.dumps({
+        "metric": "SW_score_GCUPS_per_chip",
+        "value": round(gcups, 2),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,7 +60,7 @@ def plan_blocks(db, batch: int, subset=None) -> list[Block]:
         part = idx[s : s + batch]
         maxlen = max(len(db[i]) for i in part)
         t_pad = pad_bucket(int(maxlen))
-        letters = np.zeros((t_pad, batch), dtype=np.uint8)
+        letters = np.zeros((t_pad, batch), dtype=np.int8)
         lengths = np.zeros(batch, dtype=np.int32)
         for lane, i in enumerate(part):
             seq = db[i]

@@ -1,8 +1,12 @@
 """Backend adapter for the Pallas TPU kernels.
 
-Prepares block inputs (bf16 query profile, T_CHUNK-padded letters, lengths)
-and finalizes tracker outputs. Falls back to the XLA path for shapes or gap
-configs the kernels don't cover (very long queries, gap_ext > gap_open).
+All block groups of a search are fused into ONE jitted executable (a list of
+pallas_calls inside a single jit), so the whole database costs a single
+device launch + a single result round trip regardless of how many padded
+length buckets it spans — critical when host<->device latency is high
+(remote/tunneled devices) and still optimal locally. Falls back to the XLA
+path for configs the kernels don't cover (very long queries,
+gap_ext > gap_open).
 """
 from __future__ import annotations
 
@@ -15,10 +19,10 @@ from .xla_backend import XlaBackend
 class PallasBackend:
     name = "pallas"
 
-    def __init__(self, lane_block: int = pk.LANE_BLOCK, interpret: bool = False):
-        self.lane_block = lane_block
+    def __init__(self, interpret: bool = False):
         self.interpret = interpret
         self._fallback = XlaBackend()
+        self._mega_cache: dict = {}
 
     def supports(self, Q: int, gap_open: int, gap_ext: int) -> bool:
         return (
@@ -26,46 +30,74 @@ class PallasBackend:
             and pk._round_up(max(Q, 16), 16) <= pk.Q_PAD_MAX
         )
 
-    def score_block(self, qprofile, blk, gap_open, gap_ext, mode, search_type,
-                    with_flags: bool = False):
+    def prepare_query(self, qprofile, gap_open, gap_ext):
+        import jax
         import jax.numpy as jnp
 
-        A, Q = qprofile.shape[0], qprofile.shape[1]
+        A, Q = qprofile.shape
         if not self.supports(Q, gap_open, gap_ext):
-            return self._fallback.score_block(
-                qprofile, blk, gap_open, gap_ext, mode, search_type
-            )
-
-        B = blk.letters.shape[1]
-        if B != self.lane_block:
-            # blocks are planned with the engine's block_size; re-pad lanes
-            pad = self.lane_block - B
-            if pad < 0:
-                raise ValueError("block wider than lane_block")
-            letters = np.pad(blk.letters, ((0, 0), (0, pad)))
-            lengths = np.pad(blk.lengths, (0, pad))
-        else:
-            letters, lengths = blk.letters, blk.lengths
-
-        T = letters.shape[0]
-        T_pad = pk._round_up(T, pk.T_CHUNK)
-        if T_pad != T:
-            letters = np.pad(letters, ((0, T_pad - T), (0, 0)))
-
-        # qprofile arrives as [A, Q]; kernel wants [Q_pad, A_PAD]
+            return ("xla",
+                    self._fallback.prepare_query(qprofile, gap_open, gap_ext))
+        # qprofile arrives as [A, Q]; kernel wants [Q_pad, A_PAD] bf16
         Q_pad = pk._round_up(max(Q, 16), 16)
         qp = np.zeros((Q_pad, pk.A_PAD), dtype=np.float32)
         qp[:Q, :A] = np.asarray(qprofile, dtype=np.float32).T
+        return ("pallas", Q, jax.device_put(jnp.asarray(qp, jnp.bfloat16)))
 
-        fn = pk.build_pallas_score_fn(
-            mode, search_type, Q, int(gap_open), int(gap_ext),
-            B=self.lane_block, with_flags=with_flags, interpret=self.interpret,
-        )
-        tr = fn(
-            jnp.asarray(qp, jnp.bfloat16),
-            jnp.asarray(letters, jnp.int32),
-            jnp.asarray(lengths, jnp.int32).reshape(1, -1),
-        )
-        tr = np.asarray(tr)
-        out = pk.finalize_trackers(tr, mode, search_type, Q, np.asarray(lengths))
-        return {k: v[: blk.letters.shape[1]] for k, v in out.items()}
+    def _mega(self, mode, search_type, Q, go, ge, B, with_flags):
+        import jax
+
+        key = (mode, search_type, Q, go, ge, B, with_flags)
+        fn = self._mega_cache.get(key)
+        if fn is None:
+            raw = pk.build_pallas_score_fn_raw(
+                mode, search_type, Q, go, ge, B=B,
+                with_flags=with_flags, interpret=self.interpret,
+            )
+            fn = jax.jit(
+                lambda qp, lts, lns: [
+                    raw(qp, l, n) for l, n in zip(lts, lns)
+                ]
+            )
+            self._mega_cache[key] = fn
+        return fn
+
+    def dispatch_many(self, qprep, groups, gap_open, gap_ext, mode,
+                      search_type, with_flags=False):
+        if qprep[0] == "xla":
+            return ("xla", self._fallback.dispatch_many(
+                qprep[1], groups, gap_open, gap_ext, mode, search_type,
+                with_flags))
+        _, Q, qp_dev = qprep
+        if not groups:
+            return ("pallas", [])
+        B = groups[0].letters.shape[2]
+        fn = self._mega(mode, search_type, Q, int(gap_open), int(gap_ext),
+                        B, with_flags)
+        out = fn(qp_dev, [g.letters for g in groups],
+                 [g.lengths for g in groups])
+        return ("pallas", out)
+
+    def gather(self, handle):
+        """Fetch all results in one host round trip."""
+        import jax
+
+        return (handle[0], jax.device_get(handle[1]))
+
+    def collect_many(self, handle, groups, mode, search_type, Q,
+                     with_flags=False):
+        """Returns list (per group) of lists (per block) of output dicts."""
+        if handle[0] == "xla":
+            return self._fallback.collect_many(
+                handle[1], groups, mode, search_type, Q, with_flags)
+        result = []
+        for grp, tr_g in zip(groups, handle[1]):
+            outs = []
+            for g, blk in enumerate(grp.blocks):
+                out = pk.finalize_trackers(
+                    np.asarray(tr_g[g]), mode, search_type, Q,
+                    np.asarray(blk.lengths), with_flags,
+                )
+                outs.append({k: v[: blk.n] for k, v in out.items()})
+            result.append(outs)
+        return result

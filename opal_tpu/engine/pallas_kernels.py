@@ -49,7 +49,7 @@ from ..constants import MODE_HW, MODE_NW, MODE_OV, MODE_SW, SEARCH_SCORE
 NEG = -(2**30)
 A_PAD = 128          # one-hot width / MXU contraction dim
 LANE_BLOCK = 512     # default B (DB sequences per kernel call)
-T_CHUNK = 256        # target positions per grid step
+T_CHUNK = 64         # target positions per grid step
 Q_PAD_MAX = 1024     # above this, fall back to the XLA path
 
 # tracker rows in the [8, B] tracker scratch/output
@@ -67,19 +67,37 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def tracker_rows(mode, search_type, with_flags):
+    """Which tracker rows a config needs in its output (slim transfers)."""
+    track_end = search_type != SEARCH_SCORE
+    if mode == MODE_SW:
+        rows = [TR_BEST] + ([TR_BEST_R, TR_BEST_C] if track_end else [])
+    elif mode == MODE_NW:
+        rows = [TR_NW]
+    elif mode == MODE_HW:
+        rows = [TR_BEST] + ([TR_BEST_C] if track_end else [])
+    else:  # OV
+        rows = [TR_BEST, TR_OV_CMAX] + (
+            [TR_BEST_C, TR_OV_PLRM, TR_OV_ROW] if track_end else [])
+    if with_flags:
+        rows.append(TR_ULHP)
+    return tuple(rows)
+
+
 def _kernel(
     qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, tr_ref,
-    *, mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge,
+    *, mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge, out_rows,
 ):
+    # grid = (group of lane-blocks, T chunks); state resets per group
     sw = mode == MODE_SW
     i32 = jnp.int32
     row_ids = jax.lax.broadcasted_iota(i32, (Q_pad, B), 0)
     row_valid = row_ids < Q
     ramp = row_ids * ge
     lane_a = jax.lax.broadcasted_iota(i32, (A_PAD, B), 0)
-    lengths = lengths_ref[:]  # [1, B]
+    lengths = lengths_ref[0]  # [1, B]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         if sw or mode == MODE_OV:
             h_ref[:] = jnp.zeros((Q_pad, B), i32)
@@ -97,11 +115,11 @@ def _kernel(
         )
         tr_ref[:] = jnp.where(zero_rows, 0, NEG)
 
-    chunk_t0 = pl.program_id(0) * TC
+    chunk_t0 = pl.program_id(1) * TC
 
     def column(tt, _):
         t = chunk_t0 + tt
-        letters_t = letters_ref[pl.ds(tt, 1), :]  # [1, B] i32
+        letters_t = letters_ref[0, pl.ds(tt, 1), :]  # [1, B] i32
         onehot = (lane_a == letters_t).astype(jnp.bfloat16)  # [A_PAD, B]
         P = jnp.dot(
             qp_ref[:], onehot, preferred_element_type=jnp.float32
@@ -215,13 +233,14 @@ def _kernel(
 
     jax.lax.fori_loop(0, TC, column, 0)
 
-    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _emit():
-        out_ref[:] = tr_ref[:]
+        for j, row in enumerate(out_rows):
+            out_ref[0, j : j + 1, :] = tr_ref[row : row + 1, :]
 
 
 @functools.lru_cache(maxsize=None)
-def build_pallas_score_fn(
+def build_pallas_score_fn_raw(
     mode: int,
     search_type: int,
     Q: int,
@@ -231,78 +250,102 @@ def build_pallas_score_fn(
     with_flags: bool = False,
     interpret: bool = False,
 ):
-    """Jitted fn(qp_bf16[Q_pad, A_PAD], letters[T, B] i32, lengths[1, B] i32)
-    -> trackers [8, B] i32. T must be a multiple of T_CHUNK."""
+    """Unjitted fn(qp_bf16[Q_pad, A_PAD], letters[G, T, B] i8/i32,
+    lengths[G, 1, B] i32) -> selected trackers [G, n_rows, B] i32
+    (rows per tracker_rows()). T must be a multiple of T_CHUNK."""
     if ge > go:
         raise ValueError("pallas path requires gap_ext <= gap_open")
     track_end = search_type != SEARCH_SCORE
     Q_pad = _round_up(max(Q, 16), 16)
     if Q_pad > Q_PAD_MAX:
         raise ValueError(f"query too long for pallas path ({Q})")
+    out_rows = tracker_rows(mode, search_type, with_flags)
 
     def fn(qp, letters, lengths):
-        T = letters.shape[0]
+        """letters: [G, T, B] int8 (G lane-blocks sharing padded length T);
+        lengths: [G, 1, B] int32. Returns trackers [G, 8, B] int32.
+
+        letters arrive int8 (4x cheaper host->device transfer and HBM
+        footprint); widened on-device before the kernel. All G blocks run
+        inside ONE pallas_call (grid leading dim) to amortize per-call
+        dispatch latency."""
+        if letters.dtype != jnp.int32:
+            letters = letters.astype(jnp.int32)
+        G, T = letters.shape[0], letters.shape[1]
         assert T % T_CHUNK == 0, T
-        grid = (T // T_CHUNK,)
+        grid = (G, T // T_CHUNK)
         kernel = functools.partial(
             _kernel,
             mode=mode, track_end=track_end, with_flags=with_flags,
             Q=Q, Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
+            out_rows=out_rows,
         )
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((Q_pad, A_PAD), lambda i: (0, 0),
+                pl.BlockSpec((Q_pad, A_PAD), lambda g, i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((T_CHUNK, B), lambda i: (i, 0),
+                pl.BlockSpec((1, T_CHUNK, B), lambda g, i: (g, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B), lambda i: (0, 0),
+                pl.BlockSpec((1, 1, B), lambda g, i: (g, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((8, B), lambda i: (0, 0),
+            out_specs=pl.BlockSpec((1, len(out_rows), B),
+                                   lambda g, i: (g, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, B), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((G, len(out_rows), B), jnp.int32),
             scratch_shapes=[
                 pltpu.VMEM((Q_pad, B), jnp.int32),
                 pltpu.VMEM((Q_pad, B), jnp.int32),
                 pltpu.VMEM((8, B), jnp.int32),
             ],
             cost_estimate=pl.CostEstimate(
-                flops=2 * Q_pad * A_PAD * B * T + 40 * Q_pad * B * T,
-                bytes_accessed=4 * T * B + 2 * Q_pad * A_PAD,
+                flops=(2 * Q_pad * A_PAD + 40 * Q_pad) * B * T * G,
+                bytes_accessed=4 * T * B * G + 2 * Q_pad * A_PAD,
                 transcendentals=0,
             ),
             interpret=interpret,
         )(qp, letters, lengths)
 
-    return jax.jit(fn)
+    return fn
 
 
-def finalize_trackers(tr: np.ndarray, mode, search_type, Q, lengths):
-    """Convert raw tracker rows into score/end outputs (host side)."""
+@functools.lru_cache(maxsize=None)
+def build_pallas_score_fn(*args, **kw):
+    """Jitted single-group scorer (see build_pallas_score_fn_raw)."""
+    return jax.jit(build_pallas_score_fn_raw(*args, **kw))
+
+
+def finalize_trackers(tr: np.ndarray, mode, search_type, Q, lengths,
+                      with_flags: bool = False):
+    """Convert emitted tracker rows into score/end outputs (host side).
+    tr: [n_rows, B] where rows follow tracker_rows(mode, search_type)."""
     track_end = search_type != SEARCH_SCORE
+    rows = tracker_rows(mode, search_type, with_flags)
+    row = {r: tr[j] for j, r in enumerate(rows)}
     out = {}
     if mode == MODE_SW:
-        out["score"] = tr[TR_BEST]
+        out["score"] = row[TR_BEST]
         if track_end:
-            out["end_q"] = tr[TR_BEST_R]
-            out["end_t"] = tr[TR_BEST_C]
+            out["end_q"] = row[TR_BEST_R]
+            out["end_t"] = row[TR_BEST_C]
     elif mode == MODE_NW:
-        out["score"] = tr[TR_NW]
+        out["score"] = row[TR_NW]
         if track_end:
-            out["end_q"] = np.full_like(tr[TR_NW], Q - 1)
+            out["end_q"] = np.full_like(row[TR_NW], Q - 1)
             out["end_t"] = lengths - 1
     elif mode == MODE_HW:
-        out["score"] = tr[TR_BEST]
+        out["score"] = row[TR_BEST]
         if track_end:
-            out["end_q"] = np.full_like(tr[TR_BEST], Q - 1)
-            out["end_t"] = tr[TR_BEST_C]
+            out["end_q"] = np.full_like(row[TR_BEST], Q - 1)
+            out["end_t"] = row[TR_BEST_C]
     else:  # OV
-        out["score"] = np.maximum(tr[TR_OV_CMAX], tr[TR_BEST])
+        out["score"] = np.maximum(row[TR_OV_CMAX], row[TR_BEST])
         if track_end:
-            in_last_col = tr[TR_OV_CMAX] > tr[TR_OV_PLRM]
-            out["end_q"] = np.where(in_last_col, tr[TR_OV_ROW], Q - 1)
-            out["end_t"] = np.where(in_last_col, lengths - 1, tr[TR_BEST_C])
-    out["max_ulhp"] = tr[TR_ULHP]
+            in_last_col = row[TR_OV_CMAX] > row[TR_OV_PLRM]
+            out["end_q"] = np.where(in_last_col, row[TR_OV_ROW], Q - 1)
+            out["end_t"] = np.where(in_last_col, lengths - 1, row[TR_BEST_C])
+    if with_flags:
+        out["max_ulhp"] = row[TR_ULHP]
     return out

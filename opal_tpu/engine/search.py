@@ -47,12 +47,16 @@ class EngineConfig:
     # SSE/AVX lane-splitting does, so int32-direct is the default; the
     # cascade exists for API parity and for the int16 fast path.)
     precision: str = "int32"  # "int32" | "adaptive"
+    # Optional jax.sharding.Mesh with axis "db": block lanes are sharded
+    # across it (data parallelism over the database dimension).
+    mesh: object = None
 
 
 class Engine:
     def __init__(self, config: Optional[EngineConfig] = None, **kw):
         self.config = config or EngineConfig(**kw)
         self._backend = None
+        self._resident_cache: dict = {}
 
     def _resolve_backend(self):
         if self._backend is not None:
@@ -72,41 +76,89 @@ class Engine:
             self._backend = xla_backend.XlaBackend()
         return self._backend
 
+    def upload(self, db: Sequence[np.ndarray]) -> "DeviceDatabase":
+        """Upload the DB to the device once (resident-database mode).
+
+        The returned handle can be passed to repeated searches; this is the
+        TPU analog of the reference holding the DB in RAM across queries."""
+        from .device_db import DeviceDatabase
+
+        return DeviceDatabase(db, self.config.block_size,
+                              mesh=self.config.mesh)
+
+    def _get_resident(self, db) -> "DeviceDatabase":
+        from .device_db import DeviceDatabase
+
+        if isinstance(db, DeviceDatabase):
+            return db
+        key = id(db)
+        cached = self._resident_cache.get(key)
+        if cached is None or cached[0] != len(db):
+            cached = (len(db), self.upload(db))
+            self._resident_cache = {key: cached}  # keep one DB resident
+        return cached[1]
+
     def score_blocks(
         self,
         query: np.ndarray,
-        db: Sequence[np.ndarray],
+        db,
         gap_open: int,
         gap_ext: int,
         matrix: np.ndarray,
         mode: int,
         search_type: int,
         subset=None,
+        with_flags: bool = False,
     ):
-        """Score (a subset of) the DB. Returns dict of per-db-index arrays
-        (score [+ end_q/end_t]) as an (indices, columns) pair."""
-        backend = self._resolve_backend()
-        blocks = plan_blocks(db, self.config.block_size, subset=subset)
-        qprofile = np.ascontiguousarray(
-            np.asarray(matrix, dtype=np.int32)[np.asarray(query, dtype=np.int64)]
-        )  # [Q, A] -> rows indexed by db letter: we need [A, Q]
-        qprofile = qprofile.T.copy()  # [A, Q]
+        """Score (a subset of) the DB. Returns (indices, columns) where
+        columns is a dict of per-index arrays (score [+ end_q/end_t]).
 
+        Dispatch is fully asynchronous: every block is enqueued before the
+        first result is pulled back, so device work and transfers pipeline.
+        """
+        backend = self._resolve_backend()
+        qprofile = np.ascontiguousarray(
+            np.asarray(matrix, dtype=np.int32)[
+                np.asarray(query, dtype=np.int64)
+            ].T
+        )  # [A, Q]
+        Q = qprofile.shape[1]
+        qprep = backend.prepare_query(qprofile, int(gap_open), int(gap_ext))
+
+        from .device_db import DeviceDatabase
+
+        if isinstance(db, DeviceDatabase):
+            db_list = db.raw
+        else:
+            db_list = db
+        if subset is None or len(subset) == len(db_list):
+            ddb = self._get_resident(db)
+            index_map = None
+        else:
+            # partial rescoring (cascade reruns / skip): ad-hoc upload
+            index_map = np.fromiter(subset, dtype=np.int64)
+            ddb = DeviceDatabase(
+                [db_list[i] for i in index_map],
+                self.config.block_size,
+                mesh=self.config.mesh,
+            )
+
+        handle = backend.dispatch_many(
+            qprep, ddb.groups, int(gap_open), int(gap_ext),
+            mode, search_type, with_flags,
+        )
+        handle = backend.gather(handle)  # one device->host round trip
+        per_group = backend.collect_many(
+            handle, ddb.groups, mode, search_type, Q, with_flags
+        )
         all_idx = []
         cols: dict[str, list] = {}
-        for blk in blocks:
-            out = backend.score_block(
-                qprofile,
-                blk,
-                int(gap_open),
-                int(gap_ext),
-                mode,
-                search_type,
-            )
-            n = blk.n
-            all_idx.append(blk.indices)
-            for k, v in out.items():
-                cols.setdefault(k, []).append(np.asarray(v)[:n])
+        for grp, outs in zip(ddb.groups, per_group):
+            for blk, out in zip(grp.blocks, outs):
+                idxs = blk.indices if index_map is None else index_map[blk.indices]
+                all_idx.append(idxs)
+                for k, v in out.items():
+                    cols.setdefault(k, []).append(v)
         if not all_idx:
             return np.zeros(0, np.int64), {}
         idx = np.concatenate(all_idx)
@@ -147,7 +199,11 @@ def search_database(
         raise ValueError("matrix is required")
     engine = engine or get_default_engine()
     query = np.asarray(query, dtype=np.uint8)
-    n = len(db)
+    from .device_db import DeviceDatabase
+
+    ddb = db if isinstance(db, DeviceDatabase) else None
+    db_list = ddb.raw if ddb is not None else db
+    n = len(db_list)
     if results is None:
         results = [SearchResult() for _ in range(n)]
 
@@ -167,9 +223,15 @@ def search_database(
     todo = np.nonzero(~skip)[0]
 
     if todo.size:
-        idx, cols = engine.score_blocks(
-            query, db, gap_open, gap_ext, matrix, mode, search_type, subset=todo
-        )
+        if todo.size == n:
+            idx, cols = engine.score_blocks(
+                query, db, gap_open, gap_ext, matrix, mode, search_type
+            )
+        else:
+            idx, cols = engine.score_blocks(
+                query, db_list, gap_open, gap_ext, matrix, mode, search_type,
+                subset=todo,
+            )
         for j, i in enumerate(idx):
             r = results[i]
             r.set_score(int(cols["score"][j]))
@@ -196,7 +258,7 @@ def search_database(
             else:
                 sq, st, ops = align_pair_reverse_trick(
                     query,
-                    db[i],
+                    db_list[i],
                     gap_open,
                     gap_ext,
                     matrix,

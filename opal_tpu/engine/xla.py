@@ -102,6 +102,7 @@ def build_score_fn(
     def fn(qprofile, letters, lengths):
         T, B = letters.shape
         i32 = jnp.int32
+        lengths = lengths.reshape(-1).astype(i32)  # accept [B] or [1, B]
         ge_ramp = (jnp.arange(Q, dtype=i32) * ge)[None, :]
 
         if sw:
