@@ -16,12 +16,17 @@ import dataclasses
 import numpy as np
 
 
-def pad_bucket(n: int, quantum: int = 32, ratio: float = 1.25) -> int:
-    """Smallest value >= n from a geometric grid of padded column counts.
+def pad_bucket(n: int, quantum: int = 64, ratio: float = 1.0) -> int:
+    """Padded column count for a block whose longest sequence has n residues.
 
-    Bucketing the padded length bounds both padding waste (<= ratio) and the
-    number of distinct compiled kernel shapes (log_ratio(maxlen) values).
+    With ratio == 1.0 (default) this is exact rounding to the kernel's
+    column-chunk quantum: padding waste is minimal and the number of distinct
+    compiled shapes is bounded by the number of blocks (typically ~10-30,
+    amortized by the persistent compilation cache). A ratio > 1 coarsens to a
+    geometric grid, trading padding for fewer shapes.
     """
+    if ratio <= 1.0:
+        return max(quantum, -(-n // quantum) * quantum)
     b = quantum
     while b < n:
         b = max(b + quantum, int(-(-b * ratio // quantum) * quantum))

