@@ -27,7 +27,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from opal_tpu.constants import MODE_SW, SEARCH_SCORE  # noqa: E402
-from opal_tpu.engine.search import Engine, search_database  # noqa: E402
+from opal_tpu.engine.search import Engine, search_database_arrays  # noqa: E402
 from opal_tpu.matrices import ScoreMatrix  # noqa: E402
 
 BASELINE_GCUPS = 4.08  # Opal AVX2 1-core, O74807 vs Swiss-Prot (5.2 s)
@@ -49,7 +49,7 @@ def main():
     sm = ScoreMatrix.blosum50()
     query = load_query(sm)
 
-    n_seqs = int(os.environ.get("BENCH_SEQS", "40000"))
+    n_seqs = int(os.environ.get("BENCH_SEQS", "240000"))
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     from make_synth_db import make_db
 
@@ -67,7 +67,7 @@ def main():
 
     def run():
         t0 = time.perf_counter()
-        res = search_database(
+        res = search_database_arrays(
             query, ddb, 3, 1, sm.matrix, mode=MODE_SW,
             search_type=SEARCH_SCORE, engine=engine,
         )

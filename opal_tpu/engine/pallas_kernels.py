@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import MODE_HW, MODE_NW, MODE_OV, MODE_SW, SEARCH_SCORE
 
 NEG = -(2**30)
-A_PAD = 128          # one-hot width / MXU contraction dim
+A_PAD = 32           # one-hot width / MXU contraction dim
 LANE_BLOCK = 512     # default B (DB sequences per kernel call)
 T_CHUNK = 64         # target positions per grid step
 Q_PAD_MAX = 1024     # above this, fall back to the XLA path
@@ -123,13 +123,18 @@ def _kernel(
 
     chunk_t0 = pl.program_id(1) * TC
 
-    def column(tt, _):
-        t = chunk_t0 + tt
+    def compute_profile(tt):
+        """P[r, lane] = matrix[query[r], letter[lane]] via one-hot MXU
+        matmul — exact (integer-valued bf16 inputs, f32 accumulate)."""
         letters_t = letters_ref[0, pl.ds(tt, 1), :]  # [1, B] i32
         onehot = (lane_a == letters_t).astype(jnp.bfloat16)  # [A_PAD, B]
-        P = jnp.dot(
+        return jnp.dot(
             qp_ref[:], onehot, preferred_element_type=jnp.float32
-        )  # [Q_pad, B] f32 (integer-valued)
+        )  # [Q_pad, B] f32
+
+    def column(tt, _):
+        t = chunk_t0 + tt
+        P = compute_profile(tt)
 
         H = h_ref[:]
         E = e_ref[:]

@@ -165,6 +165,41 @@ class Engine:
         return idx, {k: np.concatenate(v) for k, v in cols.items()}
 
 
+def search_database_arrays(
+    query,
+    db,
+    gap_open: int = 3,
+    gap_ext: int = 1,
+    matrix=None,
+    mode: int = MODE_SW,
+    search_type: int = SEARCH_SCORE,
+    engine: Optional[Engine] = None,
+):
+    """Array-level search: returns a dict of [n] numpy arrays in DB order
+    ("score" [+ "end_q"/"end_t"]). The zero-copy path for ranking, serving,
+    and benchmarking (the object API wraps this)."""
+    if matrix is None:
+        raise ValueError("matrix is required")
+    engine = engine or get_default_engine()
+    query = np.asarray(query, dtype=np.uint8)
+    from .device_db import DeviceDatabase
+
+    n = db.n if isinstance(db, DeviceDatabase) else len(db)
+    idx, cols = engine.score_blocks(
+        query, db, gap_open, gap_ext, matrix, mode, search_type
+    )
+    out = {}
+    for k, v in cols.items():
+        arr = np.empty(n, dtype=v.dtype)
+        arr[idx] = v
+        out[k] = arr
+    if search_type != SEARCH_SCORE and mode == MODE_SW:
+        zero = out["score"] == 0
+        out["end_q"] = np.where(zero, -1, out["end_q"])
+        out["end_t"] = np.where(zero, -1, out["end_t"])
+    return out
+
+
 _default_engine: Optional[Engine] = None
 
 
@@ -232,16 +267,16 @@ def search_database(
                 query, db_list, gap_open, gap_ext, matrix, mode, search_type,
                 subset=todo,
             )
-        for j, i in enumerate(idx):
+        scores = cols["score"].tolist()
+        end_qs = cols["end_q"].tolist() if track_end else None
+        end_ts = cols["end_t"].tolist() if track_end else None
+        for j, i in enumerate(idx.tolist()):
             r = results[i]
-            r.set_score(int(cols["score"][j]))
-            if track_end:
-                if mode == MODE_SW and r.score == 0:
-                    r.end_location_query = -1
-                    r.end_location_target = -1
-                else:
-                    r.end_location_query = int(cols["end_q"][j])
-                    r.end_location_target = int(cols["end_t"][j])
+            r.score_set = 1
+            r.score = scores[j]
+            if track_end and not (mode == MODE_SW and scores[j] == 0):
+                r.end_location_query = end_qs[j]
+                r.end_location_target = end_ts[j]
             else:
                 r.end_location_query = -1
                 r.end_location_target = -1
