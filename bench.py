@@ -24,6 +24,9 @@ import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from opal_tpu.constants import MODE_SW, SEARCH_SCORE  # noqa: E402

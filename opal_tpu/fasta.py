@@ -91,7 +91,24 @@ def read_fasta_sequences(
 
 
 def read_fasta_file(path: str, letter_idx: np.ndarray, return_names: bool = False):
-    """Read an entire FASTA file (no residue budget)."""
+    """Read an entire FASTA file (no residue budget).
+
+    Uses the native C tokenizer (opal_tpu/_native) when available — the
+    TPU-native equivalent of the reference's C++ reader — and falls back to
+    the pure-Python streaming reader otherwise."""
+    if not return_names:
+        try:
+            from ._native import parse_fasta_buffer
+
+            with open(path, "rb") as f:
+                buf = f.read()
+            seqs = parse_fasta_buffer(buf, letter_idx)
+            if seqs is not None:
+                return seqs, True
+        except ValueError:
+            raise
+        except Exception:
+            pass
     with open(path, "rb") as f:
         return read_fasta_sequences(
             f, letter_idx, max_residues=2**62, return_names=return_names

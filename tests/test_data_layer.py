@@ -98,9 +98,13 @@ def test_band_contains_reference_band(mode):
 
 
 def test_pad_bucket_monotone():
-    vals = [pad_bucket(n) for n in range(1, 3000, 17)]
-    assert all(v >= n for v, n in zip(vals, range(1, 3000, 17)))
-    assert len(set(vals)) < 40  # bounded number of compile shapes
+    ns = list(range(1, 3000, 17))
+    vals = [pad_bucket(n) for n in ns]
+    assert all(v >= n and v % 64 == 0 for v, n in zip(vals, ns))
+    # geometric mode bounds the number of compile shapes
+    coarse = [pad_bucket(n, ratio=1.25) for n in ns]
+    assert len(set(coarse)) < 20
+    assert all(v >= n for v, n in zip(coarse, ns))
 
 
 def test_plan_blocks_covers_everything():
