@@ -54,12 +54,13 @@ CHAR_LIMIT_SAT = 127      # int8 ceiling for the non-negRange kernels
 
 def classify_precision(flags: dict, mode: int) -> np.ndarray:
     """Per-sequence minimal reference precision: 8, 16 or 32 (bits)."""
-    max_ulhp = flags["max_ulhp"]
-    prec = np.full(max_ulhp.shape, 8, dtype=np.int32)
     if mode == MODE_SW:
+        max_ulhp = flags["max_ulhp"]
+        prec = np.full(max_ulhp.shape, 8, dtype=np.int32)
         prec[max_ulhp >= CHAR_SW_LIMIT] = 16
         prec[max_ulhp >= SHORT_LIMIT] = 32
     else:
+        prec = np.full(flags["max_h"].shape, 8, dtype=np.int32)
         min_e = flags.get("min_e")
         min_f = flags.get("min_f")
         max_h = flags.get("max_h")

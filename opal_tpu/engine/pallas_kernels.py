@@ -64,7 +64,11 @@ TR_NW = 3        # NW score snapshot (H[Q-1] at t == len-1)
 TR_OV_PLRM = 4   # OV prev-last-row-max snapshot at sequence end
 TR_OV_CMAX = 5   # OV last-column max snapshot
 TR_OV_ROW = 6    # OV last-column first-argmax row snapshot
-TR_ULHP = 7      # running max of ulH+P (overflow-flag tracker)
+TR_ULHP = 7      # running max of ulH+P (SW overflow-flag tracker)
+TR_MIN_E = 8     # running min of E (NW/HW/OV overflow flags)
+TR_MIN_F = 9     # running min of F
+TR_MAX_H = 10    # running max of H
+TR_ROWS = 16     # tracker scratch rows (padded to a full sublane tile)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -84,7 +88,10 @@ def tracker_rows(mode, search_type, with_flags):
         rows = [TR_BEST, TR_OV_CMAX] + (
             [TR_BEST_C, TR_OV_PLRM, TR_OV_ROW] if track_end else [])
     if with_flags:
-        rows.append(TR_ULHP)
+        if mode == MODE_SW:
+            rows.append(TR_ULHP)
+        else:
+            rows.extend([TR_MIN_E, TR_MIN_F, TR_MAX_H])
     return tuple(rows)
 
 
@@ -112,11 +119,13 @@ def _kernel(
         e_ref[:] = jnp.zeros((Q_pad, B), f32) if sw else jnp.full(
             (Q_pad, B), NEG, f32
         )
-        tr_rows = jax.lax.broadcasted_iota(i32, (8, B), 0)
+        tr_rows = jax.lax.broadcasted_iota(i32, (TR_ROWS, B), 0)
         zero_rows = (
             (tr_rows == TR_BEST_R)
             | (tr_rows == TR_BEST_C)
             | (tr_rows == TR_OV_ROW)
+            | (tr_rows == TR_MIN_E)
+            | (tr_rows == TR_MIN_F)
             | ((tr_rows == TR_BEST) & sw)
         )
         tr_ref[:] = jnp.where(zero_rows, 0.0, float(NEG))
@@ -234,13 +243,30 @@ def _kernel(
                     )
 
         if with_flags:
-            ulhp_max = jnp.max(
-                jnp.where(row_valid & valid, ulH + P, NEG), axis=0,
-                keepdims=True,
-            )
-            tr_ref[pl.ds(TR_ULHP, 1), :] = jnp.maximum(
-                tr[TR_ULHP : TR_ULHP + 1], ulhp_max
-            )
+            vmask = row_valid & valid
+            if sw:
+                ulhp_max = jnp.max(
+                    jnp.where(vmask, ulH + P, NEG), axis=0, keepdims=True
+                )
+                tr_ref[pl.ds(TR_ULHP, 1), :] = jnp.maximum(
+                    tr[TR_ULHP : TR_ULHP + 1], ulhp_max
+                )
+            else:
+                F = X - ramp
+                tr_ref[pl.ds(TR_MIN_E, 1), :] = jnp.minimum(
+                    tr[TR_MIN_E : TR_MIN_E + 1],
+                    jnp.min(jnp.where(vmask, Enew, 0.0), axis=0,
+                            keepdims=True),
+                )
+                tr_ref[pl.ds(TR_MIN_F, 1), :] = jnp.minimum(
+                    tr[TR_MIN_F : TR_MIN_F + 1],
+                    jnp.min(jnp.where(vmask, F, 0.0), axis=0, keepdims=True),
+                )
+                tr_ref[pl.ds(TR_MAX_H, 1), :] = jnp.maximum(
+                    tr[TR_MAX_H : TR_MAX_H + 1],
+                    jnp.max(jnp.where(vmask, Hnew, NEG), axis=0,
+                            keepdims=True),
+                )
         return 0
 
     jax.lax.fori_loop(0, TC, column, 0)
@@ -310,7 +336,7 @@ def build_pallas_score_fn_raw(
             scratch_shapes=[
                 pltpu.VMEM((Q_pad, B), jnp.float32),
                 pltpu.VMEM((Q_pad, B), jnp.float32),
-                pltpu.VMEM((8, B), jnp.float32),
+                pltpu.VMEM((TR_ROWS, B), jnp.float32),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=(2 * Q_pad * A_PAD + 40 * Q_pad) * B * T * G,
@@ -359,5 +385,10 @@ def finalize_trackers(tr: np.ndarray, mode, search_type, Q, lengths,
             out["end_q"] = np.where(in_last_col, row[TR_OV_ROW], Q - 1)
             out["end_t"] = np.where(in_last_col, lengths - 1, row[TR_BEST_C])
     if with_flags:
-        out["max_ulhp"] = row[TR_ULHP]
+        if mode == MODE_SW:
+            out["max_ulhp"] = row[TR_ULHP]
+        else:
+            out["min_e"] = row[TR_MIN_E]
+            out["min_f"] = row[TR_MIN_F]
+            out["max_h"] = row[TR_MAX_H]
     return out

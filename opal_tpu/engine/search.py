@@ -57,6 +57,7 @@ class Engine:
         self.config = config or EngineConfig(**kw)
         self._backend = None
         self._resident_cache: dict = {}
+        self.last_search_stats: Optional[dict] = None
 
     def _resolve_backend(self):
         if self._backend is not None:
@@ -257,16 +258,35 @@ def search_database(
     )
     todo = np.nonzero(~skip)[0]
 
+    adaptive = engine.config.precision == "adaptive"
     if todo.size:
         if todo.size == n:
             idx, cols = engine.score_blocks(
-                query, db, gap_open, gap_ext, matrix, mode, search_type
+                query, db, gap_open, gap_ext, matrix, mode, search_type,
+                with_flags=adaptive,
             )
         else:
             idx, cols = engine.score_blocks(
                 query, db_list, gap_open, gap_ext, matrix, mode, search_type,
-                subset=todo,
+                subset=todo, with_flags=adaptive,
             )
+        if adaptive:
+            # Adaptive-precision bookkeeping: which reference precision each
+            # sequence needed, and what each overflow strategy would rerun.
+            # Outputs are already exact (see engine/cascade.py), so this is
+            # observability, not a recompute trigger.
+            from .cascade import classify_precision, simulate_overflow_method
+
+            prec = classify_precision(cols, mode)
+            engine.last_search_stats = {
+                "precision_bits": dict(
+                    zip(idx.tolist(), prec.tolist())
+                ),
+                "rerun_mask_stage8": simulate_overflow_method(
+                    prec, overflow_method, 8
+                ),
+                "overflow_method": overflow_method,
+            }
         scores = cols["score"].tolist()
         end_qs = cols["end_q"].tolist() if track_end else None
         end_ts = cols["end_t"].tolist() if track_end else None

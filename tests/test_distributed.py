@@ -1,0 +1,61 @@
+"""Multi-device distribution: lane sharding over a 'db' mesh must be
+output-identical to single-device search (8 virtual CPU devices; the driver
+additionally validates the same path via __graft_entry__.dryrun_multichip)."""
+import jax
+import numpy as np
+import pytest
+
+from opal_tpu.constants import MODE_HW, MODE_NW, MODE_OV, MODE_SW, SEARCH_SCORE_END
+from opal_tpu.engine.search import Engine, search_database
+from opal_tpu.oracle import search_oracle
+from opal_tpu.parallel.shard import db_mesh, sharded_score_step
+
+from util import random_problem
+
+MODES = [MODE_SW, MODE_NW, MODE_HW, MODE_OV]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return db_mesh(devices[:8])
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_sharded_engine_matches_oracle(mode, mesh):
+    rng = np.random.default_rng(42 + mode)
+    query, db, matrix = random_problem(
+        rng, n_seqs=40, query_len=50, min_len=10, max_len=120
+    )
+    eng = Engine(backend="xla", block_size=16, mesh=mesh)
+    got = search_database(
+        query, db, 3, 1, matrix, mode=mode,
+        search_type=SEARCH_SCORE_END, engine=eng,
+    )
+    want = search_oracle(query, db, 3, 1, matrix, mode, SEARCH_SCORE_END)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g.score == w.score, i
+
+
+def test_shard_map_step(mesh):
+    """The explicit shard_map step (query broadcast, lanes split)."""
+    rng = np.random.default_rng(3)
+    query, db, matrix = random_problem(
+        rng, n_seqs=16, query_len=30, min_len=10, max_len=60
+    )
+    B = 16
+    T = max(len(s) for s in db)
+    letters = np.zeros((T, B), np.int8)
+    lengths = np.zeros((1, B), np.int32)
+    for i, s in enumerate(db):
+        letters[: len(s), i] = s
+        lengths[0, i] = len(s)
+    qprofile = matrix[query.astype(np.int64)].T.astype(np.int32)
+    step = sharded_score_step(MODE_SW, SEARCH_SCORE_END, len(query), 3, 1, mesh)
+    out = step(qprofile, letters, lengths)
+    want = search_oracle(query, db, 3, 1, matrix, MODE_SW, SEARCH_SCORE_END)
+    got = np.asarray(out["score"])
+    for i, w in enumerate(want):
+        assert got[i] == w.score, i
