@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--block-size", type=int, default=512,
                    help="DB sequences per device block")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the search into DIR")
     p.add_argument("query")
     p.add_argument("db")
     return p
@@ -104,6 +106,11 @@ def main(argv=None) -> int:
                 )
 
             print("\nComparing query to database...", end="", flush=True)
+            profiler = None
+            if args.profile:
+                import jax.profiler as profiler
+
+                profiler.start_trace(args.profile)
             start = time.perf_counter()
             results = search_database(
                 query, db, args.gap_open, args.gap_ext, score_matrix.matrix,
@@ -111,6 +118,8 @@ def main(argv=None) -> int:
                 overflow_method=OVERFLOW_BUCKETS, engine=engine,
             )
             cpu_time += time.perf_counter() - start
+            if profiler is not None:
+                profiler.stop_trace()
             print("\nFinished!")
 
             if not args.silent:

@@ -1,0 +1,77 @@
+"""Pallas kernel logic validated on CPU via interpret mode.
+
+The real kernels run only on TPU; interpret mode executes the same kernel
+jaxpr on CPU so CI covers the kernel's tracker/masking/prefix-scan logic
+against the oracle (slow — small shapes only)."""
+import numpy as np
+import pytest
+
+from opal_tpu.constants import (
+    MODE_HW,
+    MODE_NW,
+    MODE_OV,
+    MODE_SW,
+    SEARCH_SCORE,
+    SEARCH_SCORE_END,
+)
+from opal_tpu.engine import pallas_kernels as pk
+from opal_tpu.oracle import search_oracle
+
+from util import random_problem
+
+MODES = [MODE_SW, MODE_NW, MODE_HW, MODE_OV]
+
+
+def run_kernel(mode, search_type, query, db, matrix, go, ge, B=128):
+    import jax
+    import jax.numpy as jnp
+
+    Q = len(query)
+    T = pk._round_up(max(len(s) for s in db), pk.T_CHUNK)
+    letters = np.zeros((1, T, B), np.int8)
+    lengths = np.zeros((1, 1, B), np.int32)
+    for i, s in enumerate(db):
+        letters[0, : len(s), i] = s
+        lengths[0, 0, i] = len(s)
+    A = matrix.shape[0]
+    Q_pad = pk._round_up(max(Q, 16), 16)
+    qp = np.zeros((Q_pad, pk.A_PAD), np.float32)
+    qp[:Q, :A] = matrix[np.asarray(query, np.int64)].astype(np.float32)
+    fn = pk.build_pallas_score_fn(
+        mode, search_type, Q, go, ge, B=B, interpret=True
+    )
+    tr = np.asarray(fn(
+        jnp.asarray(qp, jnp.bfloat16),
+        jnp.asarray(letters),
+        jnp.asarray(lengths),
+    ))
+    return pk.finalize_trackers(
+        tr[0], mode, search_type, Q, lengths[0, 0]
+    )
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_interpret_scores_and_ends(mode):
+    rng = np.random.default_rng(17 + mode)
+    query, db, matrix = random_problem(
+        rng, n_seqs=9, query_len=25, min_len=8, max_len=50
+    )
+    out = run_kernel(mode, SEARCH_SCORE_END, query, db, matrix, 3, 1)
+    want = search_oracle(query, db, 3, 1, matrix, mode, SEARCH_SCORE_END)
+    for i, w in enumerate(want):
+        assert out["score"][i] == w.score, i
+        if mode == MODE_SW and w.score == 0:
+            continue
+        assert out["end_q"][i] == w.end_location_query, i
+        assert out["end_t"][i] == w.end_location_target, i
+
+
+def test_interpret_score_only():
+    rng = np.random.default_rng(3)
+    query, db, matrix = random_problem(
+        rng, n_seqs=5, query_len=20, min_len=10, max_len=40
+    )
+    out = run_kernel(MODE_SW, SEARCH_SCORE, query, db, matrix, 5, 2)
+    want = search_oracle(query, db, 5, 2, matrix, MODE_SW, SEARCH_SCORE)
+    for i, w in enumerate(want):
+        assert out["score"][i] == w.score, i
