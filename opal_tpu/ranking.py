@@ -1,0 +1,35 @@
+"""Result ranking: merge per-sequence scores into a ranked result set.
+
+The reference leaves ranking to callers; the TPU deployment (DB sharded over
+chips/hosts) makes a deterministic global ranking part of the engine's job
+(north star: "per-sequence results merged via all-gather into one ranked
+result set"). Ordering: score descending, then original DB index ascending
+(stable and shard-independent).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def rank_scores(scores: np.ndarray, top_k: int = 0) -> np.ndarray:
+    """Indices of DB sequences ordered by (score desc, index asc)."""
+    scores = np.asarray(scores)
+    order = np.lexsort((np.arange(len(scores)), -scores))
+    return order[:top_k] if top_k else order
+
+
+def top_k_results(results, k: int):
+    """(index, SearchResult) pairs for the k best-scoring results."""
+    scores = np.array([r.score if r.score_set else np.iinfo(np.int64).min
+                       for r in results])
+    order = rank_scores(scores, k)
+    return [(int(i), results[int(i)]) for i in order]
+
+
+def merge_shard_scores(shard_scores, shard_sizes) -> np.ndarray:
+    """Concatenate per-shard score vectors (padded rows from an all-gather)
+    back into one global score array in original shard-major order."""
+    parts = []
+    for row, n in zip(shard_scores, shard_sizes):
+        parts.append(np.asarray(row)[:n])
+    return np.concatenate(parts) if parts else np.zeros(0, np.int32)
