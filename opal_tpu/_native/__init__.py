@@ -15,28 +15,33 @@ import subprocess
 import sys
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "fasta_parse.c")
+_SOURCES = [
+    os.path.join(_HERE, "fasta_parse.c"),
+    os.path.join(_HERE, "banded_align.c"),
+]
 
 _lib = None
 _tried = False
 
 
 def _build_and_load():
-    with open(_SRC, "rb") as f:
-        src = f.read()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    h = hashlib.sha256()
+    for src in _SOURCES:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:16]
     cache_dir = os.environ.get(
         "OPAL_TPU_NATIVE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "opal_tpu"),
     )
-    so_path = os.path.join(cache_dir, f"fasta_parse_{tag}.so")
+    so_path = os.path.join(cache_dir, f"opal_native_{tag}.so")
     if not os.path.exists(so_path):
         os.makedirs(cache_dir, exist_ok=True)
         tmp = so_path + f".tmp{os.getpid()}"
         for cc in ("cc", "gcc", "clang"):
             try:
                 subprocess.run(
-                    [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+                    [cc, "-O3", "-shared", "-fPIC", "-o", tmp, *_SOURCES],
                     check=True, capture_output=True,
                 )
                 os.replace(tmp, so_path)
@@ -52,11 +57,23 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
-    return fn
+    fa = lib.opal_find_alignment
+    fa.restype = ctypes.c_int64
+    fa.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,   # query, Q
+        ctypes.c_void_p, ctypes.c_int64,   # target, T
+        ctypes.c_int32, ctypes.c_int32,    # go, ge
+        ctypes.c_void_p, ctypes.c_int64,   # matrix, alpha
+        ctypes.c_int32, ctypes.c_int32,    # score_limit, mode
+        ctypes.c_int64, ctypes.c_int64,    # bottom, top
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # Hm, Em, Fm
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # score, eq, et
+        ctypes.c_void_p, ctypes.c_void_p,  # ops, ops_len
+    ]
+    return lib
 
 
-def fasta_parser():
-    """The native parse function or None if unavailable."""
+def _get_lib():
     global _lib, _tried
     if not _tried:
         _tried = True
@@ -66,6 +83,54 @@ def fasta_parser():
             except Exception:
                 _lib = None
     return _lib
+
+
+def fasta_parser():
+    """The native parse function or None if unavailable."""
+    lib = _get_lib()
+    return lib.opal_fasta_parse if lib is not None else None
+
+
+_work = {"size": 0, "H": None, "E": None, "F": None}
+
+
+def find_alignment_native(query, target, go, ge, matrix, score_limit, mode,
+                          bottom, top):
+    """Native banded find_alignment; returns (score, end_q, end_t, ops) or
+    None when native is unavailable or reports a fallback condition."""
+    import numpy as np
+
+    lib = _get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(query, dtype=np.uint8)
+    t = np.ascontiguousarray(target, dtype=np.uint8)
+    m = np.ascontiguousarray(matrix, dtype=np.int32)
+    Q, T = len(q), len(t)
+    need = Q * T
+    if _work["size"] < need:
+        _work["H"] = np.empty(need, np.int32)
+        _work["E"] = np.empty(need, np.int32)
+        _work["F"] = np.empty(need, np.int32)
+        _work["size"] = need
+    score = np.zeros(1, np.int32)
+    end_q = np.zeros(1, np.int64)
+    end_t = np.zeros(1, np.int64)
+    ops = np.empty(Q + T + 2, np.uint8)
+    ops_len = np.zeros(1, np.int64)
+    rc = lib.opal_find_alignment(
+        q.ctypes.data, Q, t.ctypes.data, T,
+        np.int32(go), np.int32(ge), m.ctypes.data, m.shape[0],
+        np.int32(score_limit), np.int32(mode), int(bottom), int(top),
+        _work["H"].ctypes.data, _work["E"].ctypes.data,
+        _work["F"].ctypes.data,
+        score.ctypes.data, end_q.ctypes.data, end_t.ctypes.data,
+        ops.ctypes.data, ops_len.ctypes.data,
+    )
+    if rc != 0:
+        return None
+    n = int(ops_len[0])
+    return int(score[0]), int(end_q[0]), int(end_t[0]), ops[:n].copy()
 
 
 def parse_fasta_buffer(buf: bytes, lut):

@@ -44,7 +44,7 @@ class AlignmentError(Exception):
 
 def find_alignment(
     query, target, gap_open, gap_ext, matrix, score_limit, mode,
-    full_band: bool = False,
+    full_band: bool = False, use_native: bool = True,
 ):
     """Returns (score, end_query, end_target, ops) where ops is a uint8 array
     of ALIGN_* codes covering the alignment from the top-left corner to the
@@ -76,6 +76,15 @@ def find_alignment(
             f"no band for score_limit={score_limit} (band=({bottom},{top}))"
         )
 
+    if use_native:
+        from ._native import find_alignment_native
+
+        out = find_alignment_native(
+            query, target, Go, Ge, m, score_limit, mode, bottom, top
+        )
+        if out is not None:
+            return out
+
     LSB = INT_MIN + max(Go, Ge)  # reference: src/opal.cpp:1265
 
     P = m[query][:, target]  # profile: P[r, c]
@@ -95,6 +104,15 @@ def find_alignment(
     while c < T and max_score < score_limit:
         rs = max(0, c - top)
         re = min(Q - 1, c + bottom)  # inclusive
+        if re < rs:
+            # column beyond the band's reach: all cells -inf (the reference
+            # runs an empty row loop here, keeping its stale H)
+            prevH = Hm[:, c].copy()
+            prevE = Em[:, c].copy()
+            if mode in (MODE_HW, MODE_OV):
+                max_score = max(max_score, H_last)
+            c += 1
+            continue
         if rs == 0:
             uF = LSB
             uH = -Go - c * Ge
