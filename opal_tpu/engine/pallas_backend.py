@@ -24,10 +24,11 @@ class PallasBackend:
         self._fallback = XlaBackend()
         self._mega_cache: dict = {}
 
-    def supports(self, Q: int, gap_open: int, gap_ext: int) -> bool:
+    def supports(self, Q: int, gap_open: int, gap_ext: int,
+                 B: int = 1024) -> bool:
         return (
             gap_ext <= gap_open
-            and pk._round_up(max(Q, 16), 16) <= pk.Q_PAD_MAX
+            and pk._round_up(max(Q, 16), 16) <= pk.max_q_pad(B)
         )
 
     def prepare_query(self, qprofile, gap_open, gap_ext):
@@ -38,11 +39,14 @@ class PallasBackend:
         if not self.supports(Q, gap_open, gap_ext):
             return ("xla",
                     self._fallback.prepare_query(qprofile, gap_open, gap_ext))
-        # qprofile arrives as [A, Q]; kernel wants [Q_pad, A_PAD] bf16
+        # qprofile arrives as [A, Q]; kernel wants [Q_pad, A_PAD] bf16.
+        # Keep the raw profile too: dispatch re-checks VMEM feasibility at
+        # the actual lane width and may still fall back to the XLA path.
         Q_pad = pk._round_up(max(Q, 16), 16)
         qp = np.zeros((Q_pad, pk.A_PAD), dtype=np.float32)
         qp[:Q, :A] = np.asarray(qprofile, dtype=np.float32).T
-        return ("pallas", Q, jax.device_put(jnp.asarray(qp, jnp.bfloat16)))
+        return ("pallas", Q, jax.device_put(jnp.asarray(qp, jnp.bfloat16)),
+                np.asarray(qprofile))
 
     def _mega(self, mode, search_type, Q, go, ge, B, with_flags):
         import jax
@@ -68,10 +72,14 @@ class PallasBackend:
             return ("xla", self._fallback.dispatch_many(
                 qprep[1], groups, gap_open, gap_ext, mode, search_type,
                 with_flags))
-        _, Q, qp_dev = qprep
+        _, Q, qp_dev, qprofile_np = qprep
         if not groups:
             return ("pallas", [])
         B = groups[0].letters.shape[2]
+        if not self.supports(Q, gap_open, gap_ext, B):
+            xq = self._fallback.prepare_query(qprofile_np, gap_open, gap_ext)
+            return ("xla", self._fallback.dispatch_many(
+                xq, groups, gap_open, gap_ext, mode, search_type, with_flags))
         fn = self._mega(mode, search_type, Q, int(gap_open), int(gap_ext),
                         B, with_flags)
         out = fn(qp_dev, [g.letters for g in groups],

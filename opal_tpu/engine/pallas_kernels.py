@@ -54,7 +54,13 @@ NEG = -(2**30)
 A_PAD = 32           # one-hot width / MXU contraction dim
 LANE_BLOCK = 512     # default B (DB sequences per kernel call)
 T_CHUNK = 64         # target positions per grid step
-Q_PAD_MAX = 1024     # above this, fall back to the XLA path
+VMEM_STATE_BUDGET = 12 * 1024 * 1024  # H+E state budget (bytes)
+
+
+def max_q_pad(B: int) -> int:
+    """Largest supported padded query length for a lane width B: the H/E
+    f32 state (2 arrays) must fit the VMEM budget alongside working set."""
+    return (VMEM_STATE_BUDGET // (2 * 4 * B)) // 16 * 16
 
 # tracker rows in the [8, B] tracker scratch/output
 TR_BEST = 0      # SW best score / NW-HW-OV last-row running max
@@ -295,8 +301,11 @@ def build_pallas_score_fn_raw(
         raise ValueError("pallas path requires gap_ext <= gap_open")
     track_end = search_type != SEARCH_SCORE
     Q_pad = _round_up(max(Q, 16), 16)
-    if Q_pad > Q_PAD_MAX:
-        raise ValueError(f"query too long for pallas path ({Q})")
+    if Q_pad > max_q_pad(B):
+        raise ValueError(
+            f"query too long for pallas path at lane width {B} ({Q}); "
+            f"use a smaller Engine block_size"
+        )
     out_rows = tracker_rows(mode, search_type, with_flags)
 
     def fn(qp, letters, lengths):
