@@ -15,6 +15,8 @@ import dataclasses
 
 import numpy as np
 
+PAD_LETTER = 31  # == pallas_kernels.PAD_LETTER (A_PAD - 1); alphabet <= 31
+
 
 def pad_bucket(n: int, quantum: int = 64, ratio: float = 1.0) -> int:
     """Padded column count for a block whose longest sequence has n residues.
@@ -65,7 +67,11 @@ def plan_blocks(db, batch: int, subset=None) -> list[Block]:
         part = idx[s : s + batch]
         maxlen = max(len(db[i]) for i in part)
         t_pad = pad_bucket(int(maxlen))
-        letters = np.zeros((t_pad, batch), dtype=np.int8)
+        # Padding (lanes and columns) carries the reserved PAD_LETTER: its
+        # profile entries are large-negative, so padded DP cells can never
+        # beat real cells — the pallas path's score-only trackers rely on
+        # this to skip per-column masking entirely.
+        letters = np.full((t_pad, batch), PAD_LETTER, dtype=np.int8)
         lengths = np.zeros(batch, dtype=np.int32)
         for lane, i in enumerate(part):
             seq = db[i]

@@ -18,7 +18,7 @@ from typing import Sequence
 
 import numpy as np
 
-from .batching import Block, plan_blocks
+from .batching import PAD_LETTER, Block, plan_blocks
 
 
 @dataclasses.dataclass
@@ -58,7 +58,8 @@ class DeviceDatabase:
         for t_pad in sorted(by_tpad):
             blks = by_tpad[t_pad]
             G = len(blks)
-            letters = np.zeros((G, t_pad, block_size), dtype=np.int8)
+            letters = np.full((G, t_pad, block_size), PAD_LETTER,
+                              dtype=np.int8)
             lengths = np.zeros((G, 1, block_size), dtype=np.int32)
             for g, blk in enumerate(blks):
                 letters[g, : blk.letters.shape[0]] = blk.letters

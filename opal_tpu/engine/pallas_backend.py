@@ -25,9 +25,10 @@ class PallasBackend:
         self._mega_cache: dict = {}
 
     def supports(self, Q: int, gap_open: int, gap_ext: int,
-                 B: int = 1024) -> bool:
+                 B: int = 1024, A: int = 0) -> bool:
         return (
             gap_ext <= gap_open
+            and A <= pk.PAD_LETTER
             and pk._round_up(max(Q, 16), 16) <= pk.max_q_pad(B)
         )
 
@@ -36,15 +37,14 @@ class PallasBackend:
         import jax.numpy as jnp
 
         A, Q = qprofile.shape
-        if not self.supports(Q, gap_open, gap_ext):
+        if not self.supports(Q, gap_open, gap_ext, A=A):
             return ("xla",
                     self._fallback.prepare_query(qprofile, gap_open, gap_ext))
-        # qprofile arrives as [A, Q]; kernel wants [Q_pad, A_PAD] bf16.
+        # qprofile arrives as [A, Q]; kernel wants [Q_pad, A_PAD] bf16
+        # holding P + Ge with PAD_NEG padding (ramped-space diag candidate).
         # Keep the raw profile too: dispatch re-checks VMEM feasibility at
         # the actual lane width and may still fall back to the XLA path.
-        Q_pad = pk._round_up(max(Q, 16), 16)
-        qp = np.zeros((Q_pad, pk.A_PAD), dtype=np.float32)
-        qp[:Q, :A] = np.asarray(qprofile, dtype=np.float32).T
+        qp = pk.prepare_qp(np.asarray(qprofile), int(gap_ext))
         return ("pallas", Q, jax.device_put(jnp.asarray(qp, jnp.bfloat16)),
                 np.asarray(qprofile))
 
@@ -76,7 +76,8 @@ class PallasBackend:
         if not groups:
             return ("pallas", [])
         B = groups[0].letters.shape[2]
-        if not self.supports(Q, gap_open, gap_ext, B):
+        if not self.supports(Q, gap_open, gap_ext, B,
+                             A=qprofile_np.shape[0]):
             xq = self._fallback.prepare_query(qprofile_np, gap_open, gap_ext)
             return ("xla", self._fallback.dispatch_many(
                 xq, groups, gap_open, gap_ext, mode, search_type, with_flags))

@@ -15,11 +15,29 @@ TPU-native re-design of the reference's SIMD column kernels
   F[r-1]-Go is dominated by F[r-1]-Ge), computed in log2(Q) Hillis-Steele
   steps of sublane rolls on the VPU.
 
+- **Ramped coordinates.** All DP state is stored *ramped*: H~ = H + r*Ge,
+  E~ = E + r*Ge. In this space the prefix-scan input needs no per-column
+  ramp add/remove (X_in[r] = H'~[r-1] + (Ge-Go) — a constant add), the
+  diagonal candidate becomes roll(H~,1) + (P + Ge) with the +Ge baked into
+  the query profile at prepare time, and the SW clamp-to-zero becomes a max
+  with the constant ramp. Trackers compare ramped values directly (constant
+  per-row offsets preserve order along t) and un-ramp once at emit.
+
 - **Query profile via one-hot MXU matmul.** The per-column profile
   P[r, lane] = matrix[query[r], db_letter[lane]] is a gather the VPU can't
   do; instead P = QP @ onehot(letters) runs on the otherwise-idle MXU
-  (QP[q, a] = matrix[query[q], a] in bf16 — exact for small integer scores).
-  Only 1 word/lane/column of letters streams from HBM.
+  (QP[q, a] = matrix[query[q], a] + Ge in bf16 — exact for small integer
+  scores). Only 1 byte/lane/column of letters streams from HBM (int8).
+
+- **Padding is algebraic, not masked.** Padded columns and rows carry the
+  reserved PAD_LETTER whose profile entries are -2^20, so DP values in
+  padding provably never strictly beat any real value. The hot SW
+  score-only path therefore runs with *zero* per-column masking or
+  reductions: a single running elementwise max over the ramped H column,
+  reduced once at block end. (Proof sketch: pad-column H comes only from
+  decayed E/F chains of real values, pad-row H only from F of real rows
+  minus at least Go; both <= the running real maximum, and SW scores are
+  >= 0 by the clamp, matching the reference's non-negative SW scores.)
 
 - **State lives in VMEM scratch across grid steps** (H, E columns and
   per-lane trackers); the grid walks target-position chunks with letters
@@ -51,16 +69,24 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import MODE_HW, MODE_NW, MODE_OV, MODE_SW, SEARCH_SCORE
 
 NEG = -(2**30)
+PAD_NEG = -(2**20)   # profile value of padding rows/letters (bf16-exact)
 A_PAD = 32           # one-hot width / MXU contraction dim
+PAD_LETTER = A_PAD - 1  # reserved letter index used for all padding
 LANE_BLOCK = 512     # default B (DB sequences per kernel call)
 T_CHUNK = 64         # target positions per grid step
-VMEM_STATE_BUDGET = 12 * 1024 * 1024  # H+E state budget (bytes)
+VMEM_STATE_BUDGET = 18 * 1024 * 1024  # DP-state budget (bytes)
 
 
-def max_q_pad(B: int) -> int:
-    """Largest supported padded query length for a lane width B: the H/E
-    f32 state (2 arrays) must fit the VMEM budget alongside working set."""
-    return (VMEM_STATE_BUDGET // (2 * 4 * B)) // 16 * 16
+def n_state_arrays(mode: int, search_type: int, with_flags: bool) -> int:
+    """[Q_pad, B] f32 VMEM scratch arrays a config needs (H, E, + extras)."""
+    lean_sw = mode == MODE_SW and search_type == SEARCH_SCORE
+    return 3 if (lean_sw or mode == MODE_OV) else 2
+
+
+def max_q_pad(B: int, arrays: int = 3) -> int:
+    """Largest supported padded query length for lane width B: the f32 DP
+    state arrays must fit the VMEM budget alongside the working set."""
+    return (VMEM_STATE_BUDGET // (arrays * 4 * B)) // 16 * 16
 
 # tracker rows in the [8, B] tracker scratch/output
 TR_BEST = 0      # SW best score / NW-HW-OV last-row running max
@@ -102,29 +128,40 @@ def tracker_rows(mode, search_type, with_flags):
 
 
 def _kernel(
-    qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, tr_ref,
-    *, mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge, out_rows,
+    qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, *rest,
+    mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge, out_rows,
 ):
-    # grid = (group of lane-blocks, T chunks); state resets per group
+    # grid = (group of lane-blocks, T chunks); state resets per group.
+    # h_ref/e_ref hold the RAMPED DP column: H~ = H + r*Ge, E~ = E + r*Ge.
     sw = mode == MODE_SW
+    lean_sw = sw and not track_end        # runmax path (score via M scratch)
+    has_m = lean_sw or mode == MODE_OV
+    if has_m:
+        m_ref, l32_ref, tr_ref = rest
+    else:
+        l32_ref, tr_ref = rest
     i32 = jnp.int32
     f32 = jnp.float32
     row_ids = jax.lax.broadcasted_iota(i32, (Q_pad, B), 0)
     row_valid = row_ids < Q
+    is_row0 = row_ids == 0
     row_f = row_ids.astype(f32)
     ramp = row_f * ge
     lane_a = jax.lax.broadcasted_iota(i32, (A_PAD, B), 0)
-    lengths = lengths_ref[0]  # [1, B]
+    need_len = (not lean_sw) or with_flags
+    lengths = lengths_ref[0] if need_len else None  # [1, B]
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         if sw or mode == MODE_OV:
-            h_ref[:] = jnp.zeros((Q_pad, B), f32)
+            h_ref[:] = ramp                       # H = 0, ramped
         else:
-            h_ref[:] = -go - ramp
-        e_ref[:] = jnp.zeros((Q_pad, B), f32) if sw else jnp.full(
-            (Q_pad, B), NEG, f32
-        )
+            h_ref[:] = jnp.full((Q_pad, B), -go, f32)   # H = -go - r*Ge, ramped
+        e_ref[:] = ramp if sw else jnp.full((Q_pad, B), NEG, f32)
+        if lean_sw:
+            m_ref[:] = ramp                       # running max of H~, init H~
+        elif mode == MODE_OV:
+            m_ref[:] = jnp.full((Q_pad, B), NEG, f32)   # H~ at sequence end
         tr_rows = jax.lax.broadcasted_iota(i32, (TR_ROWS, B), 0)
         zero_rows = (
             (tr_rows == TR_BEST_R)
@@ -137,11 +174,15 @@ def _kernel(
         tr_ref[:] = jnp.where(zero_rows, 0.0, float(NEG))
 
     chunk_t0 = pl.program_id(1) * TC
+    # Widen this chunk's int8 letters once (Mosaic can't dynamically
+    # row-index an int8 memref); the loop indexes the i32 scratch.
+    l32_ref[:] = letters_ref[0].astype(i32)
 
     def compute_profile(tt):
-        """P[r, lane] = matrix[query[r], letter[lane]] via one-hot MXU
-        matmul — exact (integer-valued bf16 inputs, f32 accumulate)."""
-        letters_t = letters_ref[0, pl.ds(tt, 1), :]  # [1, B] i32
+        """P'[r, lane] = matrix[query[r], letter[lane]] + Ge via one-hot MXU
+        matmul — exact (integer-valued bf16 inputs, f32 accumulate). The +Ge
+        is baked into qp at prepare time (ramped-space diagonal candidate)."""
+        letters_t = l32_ref[pl.ds(tt, 1), :]  # [1, B]
         onehot = (lane_a == letters_t).astype(jnp.bfloat16)  # [A_PAD, B]
         return jnp.dot(
             qp_ref[:], onehot, preferred_element_type=jnp.float32
@@ -149,93 +190,83 @@ def _kernel(
 
     def column(tt, _):
         t = chunk_t0 + tt
-        P = compute_profile(tt)
+        Pp = compute_profile(tt)  # P + Ge
 
-        H = h_ref[:]
-        E = e_ref[:]
-        Enew = jnp.maximum(H - go, E - ge)
+        Ht = h_ref[:]
+        Et = e_ref[:]
+        Enew = jnp.maximum(Ht - go, Et - ge)
 
-        # row-0 boundary values (virtual row -1 of this column)
-        if sw:
-            ul0 = jnp.asarray(0.0, f32)
-            c0 = jnp.asarray(-go, f32)  # max(uH0-go, uF0-ge) with uH0=uF0=0
-        elif mode == MODE_NW:
+        # virtual row -1 boundary values for this column
+        if mode == MODE_NW:
             uH0 = (-go - t * ge).astype(f32)
             ul0 = jnp.where(t == 0, 0.0, uH0 + ge).astype(f32)
             c0 = jnp.maximum(uH0 - go, float(NEG - ge)).astype(f32)
-        else:  # HW, OV
+        else:  # SW, HW, OV: H[-1, *] = 0
             ul0 = jnp.asarray(0.0, f32)
-            c0 = jnp.asarray(-go, f32)  # max(0-go, NEG-ge) = -go
+            c0 = jnp.asarray(-go, f32)  # max(0 - go, -inf - ge)
 
-        ulH = pltpu.roll(H, 1, axis=0)
-        ulH = jnp.where(row_ids == 0, ul0, ulH)
-        Hp = jnp.maximum(Enew, ulH + P)
+        # diag[r] = H[r-1,t-1] + P[r] + ramp[r] = H~[r-1] + (P[r] + Ge);
+        # row 0 uses the boundary: ul0 + P[0] = ul0 + P'[0] - Ge.
+        diag = pltpu.roll(Ht, 1, axis=0) + Pp
+        diag = jnp.where(is_row0, Pp + (ul0 - ge), diag)
+        Hp = jnp.maximum(Enew, diag)
         if sw:
-            Hp = jnp.maximum(Hp, 0)
+            Hp = jnp.maximum(Hp, ramp)  # clamp H >= 0, ramped
 
-        # F via max-plus prefix of C[r] (C[0]=row-0 boundary, else H'[r-1]-go)
-        C = pltpu.roll(Hp - go, 1, axis=0)
-        C = jnp.where(row_ids == 0, c0, C)
-        X = C + ramp
+        # F chain, ramped: X[r] = F[r] + ramp[r] = max-plus prefix of
+        # X_in[r] = H'~[r-1] + (Ge - Go), with X_in[0] = c0 (ramp[0] = 0).
+        X = pltpu.roll(Hp, 1, axis=0) + (ge - go)
+        X = jnp.where(is_row0, c0, X)
         k = 1
         while k < Q_pad:
             shifted = pltpu.roll(X, k, axis=0)
             X = jnp.maximum(X, jnp.where(row_ids >= k, shifted, NEG))
             k *= 2
-        F = X - ramp
-        Hnew = jnp.maximum(Hp, F)
+        Hnew = jnp.maximum(Hp, X)
 
         h_ref[:] = Hnew
         e_ref[:] = Enew
 
         # ---- trackers ----
-        valid = t < lengths          # [1, B]
-        is_end = t == lengths - 1    # [1, B]
         tr = tr_ref[:]
-        Hmask = jnp.where(row_valid, Hnew, NEG)
-
-        if sw:
+        if lean_sw:
+            # padding is algebraic (PAD_LETTER profile): no masks, no reduce
+            m_ref[:] = jnp.maximum(m_ref[:], Hnew)
+        elif sw:
+            valid = t < lengths          # [1, B]
+            Hu = Hnew - ramp
+            Hmask = jnp.where(row_valid, Hu, NEG)
             colmax = jnp.max(Hmask, axis=0, keepdims=True)  # [1, B]
             improved = valid & (colmax > tr[TR_BEST : TR_BEST + 1])
             tr_ref[pl.ds(TR_BEST, 1), :] = jnp.where(
                 improved, colmax, tr[TR_BEST : TR_BEST + 1]
             )
-            if track_end:
-                cand = jnp.where(
-                    row_valid & (Hnew == colmax), row_f, float(Q_pad)
-                )
-                argrow = jnp.min(cand, axis=0, keepdims=True)
-                tr_ref[pl.ds(TR_BEST_R, 1), :] = jnp.where(
-                    improved, argrow, tr[TR_BEST_R : TR_BEST_R + 1]
-                )
-                tr_ref[pl.ds(TR_BEST_C, 1), :] = jnp.where(
-                    improved, t.astype(f32), tr[TR_BEST_C : TR_BEST_C + 1]
-                )
+            cand = jnp.where(row_valid & (Hu == colmax), row_f, float(Q_pad))
+            argrow = jnp.min(cand, axis=0, keepdims=True)
+            tr_ref[pl.ds(TR_BEST_R, 1), :] = jnp.where(
+                improved, argrow, tr[TR_BEST_R : TR_BEST_R + 1]
+            )
+            tr_ref[pl.ds(TR_BEST_C, 1), :] = jnp.where(
+                improved, t.astype(f32), tr[TR_BEST_C : TR_BEST_C + 1]
+            )
         else:
-            lastrow = Hnew[Q - 1 : Q, :]  # [1, B]
+            valid = t < lengths          # [1, B]
+            is_end = t == lengths - 1    # [1, B]
+            lastrow = Hnew[Q - 1 : Q, :]  # [1, B], ramped by ramp[Q-1]
             if mode == MODE_NW:
                 tr_ref[pl.ds(TR_NW, 1), :] = jnp.where(
                     is_end, lastrow, tr[TR_NW : TR_NW + 1]
                 )
             if mode == MODE_OV:
-                # snapshot BEFORE this column's last-row update
-                # (reference: prevMaxLastRowH, src/opal.cpp:746,886-903)
+                # snapshot the whole ramped H column at sequence end; the
+                # last-column max/argmax are reduced once at emit. PLRM is
+                # the last-row max BEFORE this column's update
+                # (reference: prevMaxLastRowH, src/opal.cpp:746,886-903).
+                m_ref[:] = jnp.where(is_end, Hnew, m_ref[:])
                 if track_end:
                     tr_ref[pl.ds(TR_OV_PLRM, 1), :] = jnp.where(
                         is_end, tr[TR_BEST : TR_BEST + 1],
                         tr[TR_OV_PLRM : TR_OV_PLRM + 1],
-                    )
-                colmax = jnp.max(Hmask, axis=0, keepdims=True)
-                tr_ref[pl.ds(TR_OV_CMAX, 1), :] = jnp.where(
-                    is_end, colmax, tr[TR_OV_CMAX : TR_OV_CMAX + 1]
-                )
-                if track_end:
-                    cand = jnp.where(
-                        row_valid & (Hnew == colmax), row_f, float(Q_pad)
-                    )
-                    argrow = jnp.min(cand, axis=0, keepdims=True)
-                    tr_ref[pl.ds(TR_OV_ROW, 1), :] = jnp.where(
-                        is_end, argrow, tr[TR_OV_ROW : TR_OV_ROW + 1]
                     )
             if mode in (MODE_HW, MODE_OV):
                 lr_improved = valid & (lastrow > tr[TR_BEST : TR_BEST + 1])
@@ -249,28 +280,30 @@ def _kernel(
                     )
 
         if with_flags:
+            valid = t < lengths
             vmask = row_valid & valid
             if sw:
+                # ulH + P = diag - ramp (diag holds ulH + P + ramp)
                 ulhp_max = jnp.max(
-                    jnp.where(vmask, ulH + P, NEG), axis=0, keepdims=True
+                    jnp.where(vmask, diag - ramp, NEG), axis=0, keepdims=True
                 )
                 tr_ref[pl.ds(TR_ULHP, 1), :] = jnp.maximum(
                     tr[TR_ULHP : TR_ULHP + 1], ulhp_max
                 )
             else:
-                F = X - ramp
                 tr_ref[pl.ds(TR_MIN_E, 1), :] = jnp.minimum(
                     tr[TR_MIN_E : TR_MIN_E + 1],
-                    jnp.min(jnp.where(vmask, Enew, 0.0), axis=0,
+                    jnp.min(jnp.where(vmask, Enew - ramp, 0.0), axis=0,
                             keepdims=True),
                 )
                 tr_ref[pl.ds(TR_MIN_F, 1), :] = jnp.minimum(
                     tr[TR_MIN_F : TR_MIN_F + 1],
-                    jnp.min(jnp.where(vmask, F, 0.0), axis=0, keepdims=True),
+                    jnp.min(jnp.where(vmask, X - ramp, 0.0), axis=0,
+                            keepdims=True),
                 )
                 tr_ref[pl.ds(TR_MAX_H, 1), :] = jnp.maximum(
                     tr[TR_MAX_H : TR_MAX_H + 1],
-                    jnp.max(jnp.where(vmask, Hnew, NEG), axis=0,
+                    jnp.max(jnp.where(vmask, Hnew - ramp, NEG), axis=0,
                             keepdims=True),
                 )
         return 0
@@ -279,6 +312,33 @@ def _kernel(
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _emit():
+        # un-ramp the [1,B] trackers that live in ramped space
+        lr_off = float((Q - 1) * ge)
+        if lean_sw:
+            tr_ref[pl.ds(TR_BEST, 1), :] = jnp.max(
+                m_ref[:] - ramp, axis=0, keepdims=True
+            )
+        elif mode == MODE_NW:
+            tr_ref[pl.ds(TR_NW, 1), :] = tr_ref[TR_NW : TR_NW + 1] - lr_off
+        elif mode == MODE_HW:
+            tr_ref[pl.ds(TR_BEST, 1), :] = tr_ref[TR_BEST : TR_BEST + 1] - lr_off
+        elif mode == MODE_OV:
+            tr_ref[pl.ds(TR_BEST, 1), :] = tr_ref[TR_BEST : TR_BEST + 1] - lr_off
+            if track_end:
+                tr_ref[pl.ds(TR_OV_PLRM, 1), :] = (
+                    tr_ref[TR_OV_PLRM : TR_OV_PLRM + 1] - lr_off
+                )
+            Hu = m_ref[:] - ramp
+            Hmask = jnp.where(row_valid, Hu, NEG)
+            colmax = jnp.max(Hmask, axis=0, keepdims=True)
+            tr_ref[pl.ds(TR_OV_CMAX, 1), :] = colmax
+            if track_end:
+                cand = jnp.where(
+                    row_valid & (Hu == colmax), row_f, float(Q_pad)
+                )
+                tr_ref[pl.ds(TR_OV_ROW, 1), :] = jnp.min(
+                    cand, axis=0, keepdims=True
+                )
         for j, row in enumerate(out_rows):
             out_ref[0, j : j + 1, :] = tr_ref[row : row + 1, :].astype(i32)
 
@@ -294,30 +354,33 @@ def build_pallas_score_fn_raw(
     with_flags: bool = False,
     interpret: bool = False,
 ):
-    """Unjitted fn(qp_bf16[Q_pad, A_PAD], letters[G, T, B] i8/i32,
+    """Unjitted fn(qp_bf16[Q_pad, A_PAD], letters[G, T, B] i8,
     lengths[G, 1, B] i32) -> selected trackers [G, n_rows, B] i32
-    (rows per tracker_rows()). T must be a multiple of T_CHUNK."""
+    (rows per tracker_rows()). T must be a multiple of T_CHUNK.
+
+    qp must come from prepare_qp (P + Ge, PAD_NEG padding)."""
     if ge > go:
         raise ValueError("pallas path requires gap_ext <= gap_open")
     track_end = search_type != SEARCH_SCORE
     Q_pad = _round_up(max(Q, 16), 16)
-    if Q_pad > max_q_pad(B):
+    arrays = n_state_arrays(mode, search_type, with_flags)
+    if Q_pad > max_q_pad(B, arrays):
         raise ValueError(
             f"query too long for pallas path at lane width {B} ({Q}); "
             f"use a smaller Engine block_size"
         )
     out_rows = tracker_rows(mode, search_type, with_flags)
+    has_m = (mode == MODE_SW and not track_end) or mode == MODE_OV
 
     def fn(qp, letters, lengths):
-        """letters: [G, T, B] int8 (G lane-blocks sharing padded length T);
-        lengths: [G, 1, B] int32. Returns trackers [G, 8, B] int32.
+        """letters: [G, T, B] int8 (G lane-blocks sharing padded length T,
+        padded with PAD_LETTER); lengths: [G, 1, B] int32. Returns trackers
+        [G, n_rows, B] int32.
 
-        letters arrive int8 (4x cheaper host->device transfer and HBM
-        footprint); widened on-device before the kernel. All G blocks run
-        inside ONE pallas_call (grid leading dim) to amortize per-call
-        dispatch latency."""
-        if letters.dtype != jnp.int32:
-            letters = letters.astype(jnp.int32)
+        letters stay int8 end-to-end (4x cheaper host->device transfer, HBM
+        footprint, and kernel streaming); widened per column inside the
+        kernel. All G blocks run inside ONE pallas_call (grid leading dim)
+        to amortize per-call dispatch latency."""
         G, T = letters.shape[0], letters.shape[1]
         assert T % T_CHUNK == 0, T
         grid = (G, T // T_CHUNK)
@@ -327,6 +390,14 @@ def build_pallas_score_fn_raw(
             Q=Q, Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
             out_rows=out_rows,
         )
+        scratch = [
+            pltpu.VMEM((Q_pad, B), jnp.float32),
+            pltpu.VMEM((Q_pad, B), jnp.float32),
+        ]
+        if has_m:
+            scratch.append(pltpu.VMEM((Q_pad, B), jnp.float32))
+        scratch.append(pltpu.VMEM((T_CHUNK, B), jnp.int32))
+        scratch.append(pltpu.VMEM((TR_ROWS, B), jnp.float32))
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -342,20 +413,31 @@ def build_pallas_score_fn_raw(
                                    lambda g, i: (g, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((G, len(out_rows), B), jnp.int32),
-            scratch_shapes=[
-                pltpu.VMEM((Q_pad, B), jnp.float32),
-                pltpu.VMEM((Q_pad, B), jnp.float32),
-                pltpu.VMEM((TR_ROWS, B), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             cost_estimate=pl.CostEstimate(
                 flops=(2 * Q_pad * A_PAD + 40 * Q_pad) * B * T * G,
-                bytes_accessed=4 * T * B * G + 2 * Q_pad * A_PAD,
+                bytes_accessed=T * B * G + 2 * Q_pad * A_PAD,
                 transcendentals=0,
             ),
             interpret=interpret,
         )(qp, letters, lengths)
 
     return fn
+
+
+def prepare_qp(qprofile: np.ndarray, ge: int) -> np.ndarray:
+    """Build the kernel's query-profile operand from qprofile [A, Q] int:
+    [Q_pad, A_PAD] f32 holding P + Ge, with PAD_NEG in padding rows and
+    letter columns (incl. the reserved PAD_LETTER) so padded DP cells can
+    never strictly beat real cells. Cast to bf16 before feeding the kernel
+    (all values are bf16-exact)."""
+    A, Q = qprofile.shape
+    if A > PAD_LETTER:
+        raise ValueError(f"alphabet too large for pallas path ({A} > 31)")
+    Q_pad = _round_up(max(Q, 16), 16)
+    qp = np.full((Q_pad, A_PAD), float(PAD_NEG), dtype=np.float32)
+    qp[:Q, :A] = np.asarray(qprofile, dtype=np.float32).T + float(ge)
+    return qp
 
 
 @functools.lru_cache(maxsize=None)

@@ -6,7 +6,7 @@ import pytest
 
 from opal_tpu.bandmath import band_borders, cdiv, gap_penalty
 from opal_tpu.constants import MODE_HW, MODE_NW, MODE_OV, MODE_SW
-from opal_tpu.engine.batching import pad_bucket, plan_blocks
+from opal_tpu.engine.batching import PAD_LETTER, pad_bucket, plan_blocks
 from opal_tpu.fasta import read_fasta_sequences
 from opal_tpu.matrices import ScoreMatrix
 
@@ -120,4 +120,4 @@ def test_plan_blocks_covers_everything():
             np.testing.assert_array_equal(
                 b.letters[: len(db[i]), lane], db[i]
             )
-            assert (b.letters[len(db[i]):, lane] == 0).all()
+            assert (b.letters[len(db[i]):, lane] == PAD_LETTER).all()

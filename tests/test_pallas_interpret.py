@@ -28,15 +28,12 @@ def run_kernel(mode, search_type, query, db, matrix, go, ge, B=128):
 
     Q = len(query)
     T = pk._round_up(max(len(s) for s in db), pk.T_CHUNK)
-    letters = np.zeros((1, T, B), np.int8)
+    letters = np.full((1, T, B), pk.PAD_LETTER, np.int8)
     lengths = np.zeros((1, 1, B), np.int32)
     for i, s in enumerate(db):
         letters[0, : len(s), i] = s
         lengths[0, 0, i] = len(s)
-    A = matrix.shape[0]
-    Q_pad = pk._round_up(max(Q, 16), 16)
-    qp = np.zeros((Q_pad, pk.A_PAD), np.float32)
-    qp[:Q, :A] = matrix[np.asarray(query, np.int64)].astype(np.float32)
+    qp = pk.prepare_qp(matrix[np.asarray(query, np.int64)].T, ge)
     fn = pk.build_pallas_score_fn(
         mode, search_type, Q, go, ge, B=B, interpret=True
     )
