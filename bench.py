@@ -8,9 +8,10 @@ resides on-device (the analog of the reference holding it in RAM), the
 search is timed end-to-end including result download, and
 GCUPS = dbResidues x queryLen / time / 1e9 (src/opal_aligner.cpp:204-207).
 
-DB: synthetic Swiss-Prot-like stand-in for the absent uniprot_sprot12071
-fixture (see tools/make_synth_db.py), scaled up so steady-state throughput
-dominates fixed dispatch latency.
+DB: synthetic Swiss-Prot-like stand-in (see tools/make_synth_db.py) at the
+reference protocol's full scale — 541,762 sequences, ~1.93e8 residues, the
+size of the UniProtKB/Swiss-Prot release the reference benchmarked against
+(aligner_comparison.md:14).
 
 Baseline: Opal AVX2 single-core, O74807 vs full Swiss-Prot, 5.2 s
 => ~4.08 GCUPS (BASELINE.md). vs_baseline = ours / 4.08.
@@ -52,19 +53,18 @@ def main():
     sm = ScoreMatrix.blosum50()
     query = load_query(sm)
 
-    n_seqs = int(os.environ.get("BENCH_SEQS", "240000"))
+    n_seqs = int(os.environ.get("BENCH_SEQS", "541762"))
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from make_synth_db import make_db
+    from make_synth_db import make_db_arrays
 
     lut = sm.letter_index()
-    seqs = make_db(n_seqs, seed=12071)
-    db = [lut[np.frombuffer(s.encode(), dtype=np.uint8)] for s in seqs]
+    db = [lut[a] for a in make_db_arrays(n_seqs, seed=12071)]
     total_residues = sum(len(s) for s in db)
 
     import jax
 
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    engine = Engine(backend=backend, block_size=1024)
+    engine = Engine(backend=backend, block_size=2048)
 
     ddb = engine.upload(db)  # resident DB (excluded, like the reference's I/O)
 

@@ -1,12 +1,16 @@
 """Backend adapter for the Pallas TPU kernels.
 
-All block groups of a search are fused into ONE jitted executable (a list of
-pallas_calls inside a single jit), so the whole database costs a single
-device launch + a single result round trip regardless of how many padded
-length buckets it spans — critical when host<->device latency is high
-(remote/tunneled devices) and still optimal locally. Falls back to the XLA
-path for configs the kernels don't cover (very long queries,
-gap_ext > gap_open).
+Default dispatch is the *ragged single-launch* path: the entire database —
+regardless of how many padded length buckets it spans — is scored by ONE
+pallas_call walking a flat chunk stream with scalar-prefetched block
+metadata (see build_pallas_ragged_fn_raw). One device launch + one result
+round trip per search, zero inter-bucket dispatch gaps — critical when
+host<->device latency is high (remote/tunneled devices) and still optimal
+locally.
+
+Mesh-sharded databases use the grouped per-bucket path (GSPMD partitions
+the lane axis); configs the kernels don't cover (very long queries,
+gap_ext > gap_open, oversized alphabets) fall back to the XLA path.
 """
 from __future__ import annotations
 
@@ -49,6 +53,7 @@ class PallasBackend:
                 np.asarray(qprofile))
 
     def _mega(self, mode, search_type, Q, go, ge, B, with_flags):
+        """Grouped path: all bucket pallas_calls fused into one jit."""
         import jax
 
         key = (mode, search_type, Q, go, ge, B, with_flags)
@@ -66,47 +71,68 @@ class PallasBackend:
             self._mega_cache[key] = fn
         return fn
 
-    def dispatch_many(self, qprep, groups, gap_open, gap_ext, mode,
+    def dispatch_many(self, qprep, ddb, gap_open, gap_ext, mode,
                       search_type, with_flags=False):
         if qprep[0] == "xla":
             return ("xla", self._fallback.dispatch_many(
-                qprep[1], groups, gap_open, gap_ext, mode, search_type,
+                qprep[1], ddb, gap_open, gap_ext, mode, search_type,
                 with_flags))
         _, Q, qp_dev, qprofile_np = qprep
-        if not groups:
-            return ("pallas", [])
-        B = groups[0].letters.shape[2]
+        if not ddb.blocks:
+            return ("ragged", None)
+        B = ddb.block_size
         if not self.supports(Q, gap_open, gap_ext, B,
                              A=qprofile_np.shape[0]):
             xq = self._fallback.prepare_query(qprofile_np, gap_open, gap_ext)
             return ("xla", self._fallback.dispatch_many(
-                xq, groups, gap_open, gap_ext, mode, search_type, with_flags))
-        fn = self._mega(mode, search_type, Q, int(gap_open), int(gap_ext),
-                        B, with_flags)
-        out = fn(qp_dev, [g.letters for g in groups],
-                 [g.lengths for g in groups])
-        return ("pallas", out)
+                xq, ddb, gap_open, gap_ext, mode, search_type, with_flags))
+        if ddb.mesh is not None:
+            # sharded lanes: grouped per-bucket calls under GSPMD
+            fn = self._mega(mode, search_type, Q, int(gap_open),
+                            int(gap_ext), B, with_flags)
+            out = fn(qp_dev, [g.letters for g in ddb.groups],
+                     [g.lengths for g in ddb.groups])
+            return ("grouped", out)
+        fn = pk.build_pallas_ragged_fn(
+            mode, search_type, Q, int(gap_open), int(gap_ext), B=B,
+            with_flags=with_flags, interpret=self.interpret,
+        )
+        meta, letters, lengths = ddb.flat()
+        return ("ragged", fn(meta, qp_dev, letters, lengths))
 
     def gather(self, handle):
         """Fetch all results in one host round trip."""
         import jax
 
-        return (handle[0], jax.device_get(handle[1]))
+        kind, payload = handle
+        if kind == "xla":
+            return (kind, self._fallback.gather(payload))
+        return (kind, jax.device_get(payload) if payload is not None
+                else None)
 
-    def collect_many(self, handle, groups, mode, search_type, Q,
+    def collect_many(self, handle, ddb, mode, search_type, Q,
                      with_flags=False):
-        """Returns list (per group) of lists (per block) of output dicts."""
-        if handle[0] == "xla":
+        """Returns [(Block, {col: [n] array}), ...] over all DB blocks."""
+        kind, payload = handle
+        if kind == "xla":
             return self._fallback.collect_many(
-                handle[1], groups, mode, search_type, Q, with_flags)
+                payload, ddb, mode, search_type, Q, with_flags)
         result = []
-        for grp, tr_g in zip(groups, handle[1]):
-            outs = []
+        if kind == "ragged":
+            if payload is None:
+                return result
+            for bi, blk in enumerate(ddb.blocks):
+                out = pk.finalize_trackers(
+                    np.asarray(payload[bi]), mode, search_type, Q,
+                    np.asarray(blk.lengths), with_flags,
+                )
+                result.append((blk, {k: v[: blk.n] for k, v in out.items()}))
+            return result
+        for grp, tr_g in zip(ddb.groups, payload):
             for g, blk in enumerate(grp.blocks):
                 out = pk.finalize_trackers(
                     np.asarray(tr_g[g]), mode, search_type, Q,
                     np.asarray(blk.lengths), with_flags,
                 )
-                outs.append({k: v[: blk.n] for k, v in out.items()})
-            result.append(outs)
+                result.append((blk, {k: v[: blk.n] for k, v in out.items()}))
         return result

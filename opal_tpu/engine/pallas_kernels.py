@@ -130,8 +130,13 @@ def tracker_rows(mode, search_type, with_flags):
 def _kernel(
     qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, *rest,
     mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge, out_rows,
+    is_first, is_last, chunk_t0,
 ):
-    # grid = (group of lane-blocks, T chunks); state resets per group.
+    # One grid step advances TC DP columns of one lane-block. State resets
+    # when is_first (block's first chunk) and trackers emit when is_last;
+    # chunk_t0 is the block-local column offset of this chunk. The grouped
+    # wrapper derives these from the grid position, the ragged wrapper from
+    # prefetched per-chunk metadata.
     # h_ref/e_ref hold the RAMPED DP column: H~ = H + r*Ge, E~ = E + r*Ge.
     sw = mode == MODE_SW
     lean_sw = sw and not track_end        # runmax path (score via M scratch)
@@ -151,7 +156,7 @@ def _kernel(
     need_len = (not lean_sw) or with_flags
     lengths = lengths_ref[0] if need_len else None  # [1, B]
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(is_first())
     def _init():
         if sw or mode == MODE_OV:
             h_ref[:] = ramp                       # H = 0, ramped
@@ -173,7 +178,7 @@ def _kernel(
         )
         tr_ref[:] = jnp.where(zero_rows, 0.0, float(NEG))
 
-    chunk_t0 = pl.program_id(1) * TC
+    chunk_t0 = chunk_t0()
     # Widen this chunk's int8 letters once (Mosaic can't dynamically
     # row-index an int8 memref); the loop indexes the i32 scratch.
     l32_ref[:] = letters_ref[0].astype(i32)
@@ -310,7 +315,7 @@ def _kernel(
 
     jax.lax.fori_loop(0, TC, column, 0)
 
-    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    @pl.when(is_last())
     def _emit():
         # un-ramp the [1,B] trackers that live in ramped space
         lr_off = float((Q - 1) * ge)
@@ -389,6 +394,9 @@ def build_pallas_score_fn_raw(
             mode=mode, track_end=track_end, with_flags=with_flags,
             Q=Q, Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
             out_rows=out_rows,
+            is_first=lambda: pl.program_id(1) == 0,
+            is_last=lambda: pl.program_id(1) == pl.num_programs(1) - 1,
+            chunk_t0=lambda: pl.program_id(1) * T_CHUNK,
         )
         scratch = [
             pltpu.VMEM((Q_pad, B), jnp.float32),
@@ -423,6 +431,102 @@ def build_pallas_score_fn_raw(
         )(qp, letters, lengths)
 
     return fn
+
+
+@functools.lru_cache(maxsize=None)
+def build_pallas_ragged_fn_raw(
+    mode: int,
+    search_type: int,
+    Q: int,
+    go: int,
+    ge: int,
+    B: int = LANE_BLOCK,
+    with_flags: bool = False,
+    interpret: bool = False,
+):
+    """Whole-database scorer in ONE pallas_call over a ragged chunk stream.
+
+    The grouped path pays one pallas_call per distinct padded length
+    (typically ~20 per database); this path walks a single flat stream of
+    T_CHUNK-column chunks — each lane-block contributes exactly
+    ceil(maxlen/TC) chunks, back to back — with per-chunk scalar-prefetched
+    metadata saying where blocks begin/end. One launch, zero inter-bucket
+    padding, perfect double-buffering across block boundaries. This is the
+    TPU answer to the reference's lane-refill conveyor keeping SIMD lanes
+    busy across unequal sequence lengths (src/opal.cpp:472-490).
+
+    fn(meta[4, C] i32, qp[Q_pad, A_PAD] bf16, letters[C, TC, B] i8,
+       lengths[NB, 1, B] i32) -> trackers [NB, n_rows, B] i32.
+    meta rows: (block index, is-first-chunk, is-last-chunk, t0 columns);
+    [4, C] so the SMEM lane-stripe padding lands on the long dim.
+    """
+    if ge > go:
+        raise ValueError("pallas path requires gap_ext <= gap_open")
+    track_end = search_type != SEARCH_SCORE
+    Q_pad = _round_up(max(Q, 16), 16)
+    arrays = n_state_arrays(mode, search_type, with_flags)
+    if Q_pad > max_q_pad(B, arrays):
+        raise ValueError(
+            f"query too long for pallas path at lane width {B} ({Q})"
+        )
+    out_rows = tracker_rows(mode, search_type, with_flags)
+    has_m = (mode == MODE_SW and not track_end) or mode == MODE_OV
+
+    def fn(meta, qp, letters, lengths):
+        C = letters.shape[0]
+        assert meta.shape == (4, C), meta.shape
+        NB = lengths.shape[0]
+        def kernel_wrapper(meta_ref, *refs):
+            c = pl.program_id(0)
+            functools.partial(
+                _kernel,
+                mode=mode, track_end=track_end, with_flags=with_flags,
+                Q=Q, Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
+                out_rows=out_rows,
+                is_first=lambda: meta_ref[1, c] == 1,
+                is_last=lambda: meta_ref[2, c] == 1,
+                chunk_t0=lambda: meta_ref[3, c],
+            )(*refs)
+
+        scratch = [
+            pltpu.VMEM((Q_pad, B), jnp.float32),
+            pltpu.VMEM((Q_pad, B), jnp.float32),
+        ]
+        if has_m:
+            scratch.append(pltpu.VMEM((Q_pad, B), jnp.float32))
+        scratch.append(pltpu.VMEM((T_CHUNK, B), jnp.int32))
+        scratch.append(pltpu.VMEM((TR_ROWS, B), jnp.float32))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(C,),
+            in_specs=[
+                pl.BlockSpec((Q_pad, A_PAD), lambda c, m: (0, 0)),
+                pl.BlockSpec((1, T_CHUNK, B), lambda c, m: (c, 0, 0)),
+                pl.BlockSpec((1, 1, B), lambda c, m: (m[0, c], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, len(out_rows), B),
+                                   lambda c, m: (m[0, c], 0, 0)),
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            kernel_wrapper,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((NB, len(out_rows), B), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=(2 * Q_pad * A_PAD + 40 * Q_pad) * B * T_CHUNK * C,
+                bytes_accessed=T_CHUNK * B * C + 2 * Q_pad * A_PAD,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(meta, qp, letters, lengths)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def build_pallas_ragged_fn(*args, **kw):
+    """Jitted ragged-stream scorer (see build_pallas_ragged_fn_raw)."""
+    return jax.jit(build_pallas_ragged_fn_raw(*args, **kw))
 
 
 def prepare_qp(qprofile: np.ndarray, ge: int) -> np.ndarray:

@@ -145,21 +145,20 @@ class Engine:
             )
 
         handle = backend.dispatch_many(
-            qprep, ddb.groups, int(gap_open), int(gap_ext),
+            qprep, ddb, int(gap_open), int(gap_ext),
             mode, search_type, with_flags,
         )
         handle = backend.gather(handle)  # one device->host round trip
-        per_group = backend.collect_many(
-            handle, ddb.groups, mode, search_type, Q, with_flags
+        per_block = backend.collect_many(
+            handle, ddb, mode, search_type, Q, with_flags
         )
         all_idx = []
         cols: dict[str, list] = {}
-        for grp, outs in zip(ddb.groups, per_group):
-            for blk, out in zip(grp.blocks, outs):
-                idxs = blk.indices if index_map is None else index_map[blk.indices]
-                all_idx.append(idxs)
-                for k, v in out.items():
-                    cols.setdefault(k, []).append(v)
+        for blk, out in per_block:
+            idxs = blk.indices if index_map is None else index_map[blk.indices]
+            all_idx.append(idxs)
+            for k, v in out.items():
+                cols.setdefault(k, []).append(v)
         if not all_idx:
             return np.zeros(0, np.int64), {}
         idx = np.concatenate(all_idx)

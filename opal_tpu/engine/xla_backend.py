@@ -20,14 +20,14 @@ class XlaBackend:
 
         return jax.device_put(jnp.asarray(qprofile, jnp.int32))  # [A, Q]
 
-    def dispatch_many(self, qprep, groups, gap_open, gap_ext, mode,
+    def dispatch_many(self, qprep, ddb, gap_open, gap_ext, mode,
                       search_type, with_flags=False):
-        """groups: list of BlockGroup ([G, T, B] letters)."""
+        """ddb: DeviceDatabase (scores its [G, T, B] letter groups)."""
         Q = qprep.shape[1]
         fn = build_score_fn(mode, search_type, Q, gap_open, gap_ext,
                             with_flags=with_flags)
         handles = []
-        for grp in groups:
+        for grp in ddb.groups:
             handles.append([
                 fn(qprep, grp.letters[g], grp.lengths[g])
                 for g in range(grp.letters.shape[0])
@@ -40,15 +40,14 @@ class XlaBackend:
 
         return jax.device_get(handles)
 
-    def collect_many(self, handles, groups, mode, search_type, Q,
+    def collect_many(self, handles, ddb, mode, search_type, Q,
                      with_flags=False):
+        """Returns [(Block, {col: [n] array}), ...] over all DB blocks."""
         result = []
-        for grp, hs in zip(groups, handles):
-            outs = []
+        for grp, hs in zip(ddb.groups, handles):
             for blk, h in zip(grp.blocks, hs):
-                outs.append(
-                    {k: np.asarray(v)[: blk.n] for k, v in h.items()
-                     if v is not None}
-                )
-            result.append(outs)
+                result.append((blk, {
+                    k: np.asarray(v)[: blk.n] for k, v in h.items()
+                    if v is not None
+                }))
         return result

@@ -37,6 +37,23 @@ def make_db(n_seqs: int = 12071, seed: int = 12071):
     return seqs
 
 
+def make_db_arrays(n_seqs: int = 541762, seed: int = 541762):
+    """Vectorized generator for benchmark-scale databases (full-Swiss-Prot
+    size, ~1.93e8 residues at the default n): returns a list of uint8 ASCII
+    arrays (map through ScoreMatrix.letter_index() for engine input).
+    Same length/composition distributions as make_db; one draw stream."""
+    rng = np.random.default_rng(seed)
+    lengths = np.clip(
+        rng.lognormal(mean=5.67, sigma=0.65, size=n_seqs), 30, 5000
+    ).astype(np.int64)
+    total = int(lengths.sum())
+    aa_codes = np.frombuffer(AA.encode(), dtype=np.uint8)
+    cum = np.cumsum(FREQ)
+    residues = aa_codes[np.searchsorted(cum, rng.random(total))]
+    bounds = np.cumsum(lengths)[:-1]
+    return np.split(residues, bounds)
+
+
 def write_fasta(path: str, seqs):
     with open(path, "w") as f:
         for i, s in enumerate(seqs):
