@@ -41,8 +41,8 @@ __version__ = "0.1.0"
 
 def __getattr__(name):
     # Lazy imports so `import opal_tpu` stays cheap (no jax import).
-    if name in ("search_database", "search_database_arrays", "Engine",
-                "EngineConfig"):
+    if name in ("search_database", "search_database_arrays",
+                "search_database_multi_arrays", "Engine", "EngineConfig"):
         from .engine import search as _s
 
         return getattr(_s, name)

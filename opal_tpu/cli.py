@@ -19,14 +19,51 @@ import numpy as np
 
 from .constants import (
     MODE_CODES,
+    MODE_SW,
     OVERFLOW_BUCKETS,
     SEARCH_ALIGNMENT,
     SEARCH_SCORE,
 )
-from .engine.search import Engine, search_database
+from .engine.search import (
+    Engine,
+    search_database,
+    search_database_multi_arrays,
+)
 from .fasta import read_fasta_sequences
 from .matrices import ScoreMatrix
 from .render import render_alignment, result_line
+from .result import SearchResult
+
+
+def _run_queries(queries, db, args, score_matrix, mode, engine):
+    """Search the DB chunk with every query; returns per-query result lists.
+    SW score-only multi-query batches take the stacked-kernel fast path."""
+    if (
+        len(queries) > 1
+        and mode == MODE_SW
+        and args.search_type == SEARCH_SCORE
+    ):
+        outs = search_database_multi_arrays(
+            queries, db, args.gap_open, args.gap_ext, score_matrix.matrix,
+            mode=mode, search_type=SEARCH_SCORE, engine=engine,
+        )
+        per_query = []
+        for out in outs:
+            rs = []
+            for sc in out["score"].tolist():
+                r = SearchResult()
+                r.set_score(sc)
+                rs.append(r)
+            per_query.append(rs)
+        return per_query
+    return [
+        search_database(
+            q, db, args.gap_open, args.gap_ext, score_matrix.matrix,
+            mode=mode, search_type=args.search_type,
+            overflow_method=OVERFLOW_BUCKETS, engine=engine,
+        )
+        for q in queries
+    ]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -58,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DB sequences per device block")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the search into DIR")
+    p.add_argument("--all-queries", action="store_true",
+                   help="search every sequence in the query file, not just "
+                   "the first (batches of SW score searches run as stacked "
+                   "multi-query kernel launches)")
     p.add_argument("query")
     p.add_argument("db")
     return p
@@ -82,8 +123,13 @@ def main(argv=None) -> int:
     print("Reading query fasta file...")
     with open(args.query, "rb") as f:
         qseqs, _ = read_fasta_sequences(f, lut)
-    query = qseqs[0]
-    print(f"Read query sequence, {len(query)} residues.")
+    queries = qseqs if args.all_queries else qseqs[:1]
+    query = queries[0]
+    if args.all_queries:
+        print(f"Read {len(queries)} query sequences, "
+              f"{sum(len(q) for q in queries)} residues total.")
+    else:
+        print(f"Read query sequence, {len(query)} residues.")
 
     engine = Engine(backend=args.backend, block_size=args.block_size)
 
@@ -112,10 +158,8 @@ def main(argv=None) -> int:
 
                 profiler.start_trace(args.profile)
             start = time.perf_counter()
-            results = search_database(
-                query, db, args.gap_open, args.gap_ext, score_matrix.matrix,
-                mode=mode, search_type=args.search_type,
-                overflow_method=OVERFLOW_BUCKETS, engine=engine,
+            per_query = _run_queries(
+                queries, db, args, score_matrix, mode, engine
             )
             cpu_time += time.perf_counter() - start
             if profiler is not None:
@@ -123,23 +167,29 @@ def main(argv=None) -> int:
             print("\nFinished!")
 
             if not args.silent:
-                print(
-                    "\n#<i>: <score> (<query start>, <target start>)"
-                    " (<query end>, <target end>)"
-                )
                 base = db_total_len - len(db)
-                for i, (r, t) in enumerate(zip(results, db)):
-                    print(result_line(base + i, r))
-                    if r.alignment is not None:
-                        print(
-                            render_alignment(query, t, r, score_matrix.alphabet),
-                            end="",
-                        )
-                        print()
+                for k, results in enumerate(per_query):
+                    if args.all_queries:
+                        print(f"\nQuery #{k}: {len(queries[k])} residues")
+                    print(
+                        "\n#<i>: <score> (<query start>, <target start>)"
+                        " (<query end>, <target end>)"
+                    )
+                    for i, (r, t) in enumerate(zip(results, db)):
+                        print(result_line(base + i, r))
+                        if r.alignment is not None:
+                            print(
+                                render_alignment(
+                                    queries[k], t, r, score_matrix.alphabet
+                                ),
+                                end="",
+                            )
+                            print()
 
     print(f"\nCpu time of searching: {cpu_time:.2f}")
     if args.search_type != SEARCH_ALIGNMENT:
-        gcups = db_total_residues / 1e9 * len(query) / cpu_time if cpu_time else 0.0
+        q_res = sum(len(q) for q in queries)
+        gcups = db_total_residues / 1e9 * q_res / cpu_time if cpu_time else 0.0
         print(f"GCUPS (giga cell updates per second): {gcups:.2f}")
     return 0
 

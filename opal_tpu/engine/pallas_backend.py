@@ -29,10 +29,13 @@ class PallasBackend:
         self._mega_cache: dict = {}
 
     def supports(self, Q: int, gap_open: int, gap_ext: int,
-                 B: int = 1024, A: int = 0) -> bool:
+                 B: int = 1024, A: int = 0, profile_absmax: int = 0) -> bool:
         return (
             gap_ext <= gap_open
             and A <= pk.PAD_LETTER
+            # the query profile feeds the MXU in bf16: integers are exact
+            # only up to 2^8, so large score-matrix entries take the XLA path
+            and profile_absmax + gap_ext <= 256
             and pk._round_up(max(Q, 16), 16) <= pk.max_q_pad(B)
         )
 
@@ -41,7 +44,9 @@ class PallasBackend:
         import jax.numpy as jnp
 
         A, Q = qprofile.shape
-        if not self.supports(Q, gap_open, gap_ext, A=A):
+        absmax = int(np.abs(np.asarray(qprofile)).max()) if Q else 0
+        if not self.supports(Q, gap_open, gap_ext, A=A,
+                             profile_absmax=absmax):
             return ("xla",
                     self._fallback.prepare_query(qprofile, gap_open, gap_ext))
         # qprofile arrives as [A, Q]; kernel wants [Q_pad, A_PAD] bf16
@@ -99,6 +104,58 @@ class PallasBackend:
         )
         meta, letters, lengths = ddb.flat()
         return ("ragged", fn(meta, qp_dev, letters, lengths))
+
+    def supports_multi(self, queries, gap_open, gap_ext, B, A, matrix):
+        """Can these queries run as one stacked SW score-only launch?"""
+        matrix = np.asarray(matrix)
+        if not self.supports(
+            max(len(q) for q in queries), gap_open, gap_ext, B, A,
+            profile_absmax=int(np.abs(matrix).max()),
+        ):
+            return False
+        if len(queries) > pk.MULTI_MAX_SEGS:
+            return False
+        q_total = sum(pk._round_up(max(len(q), 16), 16) for q in queries)
+        if q_total > pk.max_q_pad(B, 3):
+            return False
+        # segmented-scan exactness bound on DP magnitudes
+        worst = max(len(q) for q in queries) * max(int(matrix.max()), 1)
+        return worst < pk.MULTI_VALUE_BOUND
+
+    def dispatch_multi(self, qprofiles, ddb, gap_open, gap_ext):
+        """Stacked multi-query SW score-only dispatch (ragged stream).
+        Returns a handle for collect_multi; caller has checked
+        supports_multi and that ddb.mesh is None."""
+        import jax
+        import jax.numpy as jnp
+
+        qp_np, seg_qpads, seg_qs = pk.prepare_qp_multi(
+            qprofiles, int(gap_ext))
+        if not ddb.blocks:
+            return (None, seg_qs)
+        fn = pk.build_pallas_multi_sw_fn_raw(
+            seg_qpads, int(gap_open), int(gap_ext), B=ddb.block_size,
+            interpret=self.interpret,
+        )
+        meta, letters, lengths = ddb.flat()
+        nb_token = jnp.zeros((lengths.shape[0],), jnp.int8)
+        out = fn(meta, jnp.asarray(qp_np, jnp.bfloat16), letters, nb_token)
+        return (out, seg_qs)
+
+    def collect_multi(self, handle, ddb):
+        """Returns per-query lists of (Block, scores[n]) pairs."""
+        import jax
+
+        payload, seg_qs = handle
+        n_q = len(seg_qs)
+        if payload is None:
+            return [[] for _ in range(n_q)]
+        tr = jax.device_get(payload)  # [NB, n_seg, B]
+        result = [[] for _ in range(n_q)]
+        for bi, blk in enumerate(ddb.blocks):
+            for s in range(n_q):
+                result[s].append((blk, tr[bi, s, : blk.n]))
+        return result
 
     def gather(self, handle):
         """Fetch all results in one host round trip."""

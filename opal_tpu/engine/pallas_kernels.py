@@ -75,6 +75,22 @@ PAD_LETTER = A_PAD - 1  # reserved letter index used for all padding
 LANE_BLOCK = 512     # default B (DB sequences per kernel call)
 T_CHUNK = 64         # target positions per grid step
 VMEM_STATE_BUDGET = 18 * 1024 * 1024  # DP-state budget (bytes)
+VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic scoped-VMEM ceiling (v5e has 128M)
+
+# Multi-query stacking (SW score-only): queries stacked along the row axis
+# as independent DP segments; the segmented max-plus scan is realized by
+# offsetting each segment's ramp by s*SEG_M so cross-segment candidates are
+# always dominated. Exactness needs n_seg*SEG_M + |values| < 2^24 (f32) and
+# |DP values| < SEG_M - Q_pad*Ge, hence the tighter 2^18 value bound here.
+SEG_M = float(2**19)
+MULTI_MAX_SEGS = 8
+MULTI_VALUE_BOUND = 2**18
+
+
+def _compiler_params(interpret: bool):
+    return None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=VMEM_LIMIT
+    )
 
 
 def n_state_arrays(mode: int, search_type: int, with_flags: bool) -> int:
@@ -427,6 +443,7 @@ def build_pallas_score_fn_raw(
                 bytes_accessed=T * B * G + 2 * Q_pad * A_PAD,
                 transcendentals=0,
             ),
+            compiler_params=_compiler_params(interpret),
             interpret=interpret,
         )(qp, letters, lengths)
 
@@ -517,6 +534,7 @@ def build_pallas_ragged_fn_raw(
                 bytes_accessed=T_CHUNK * B * C + 2 * Q_pad * A_PAD,
                 transcendentals=0,
             ),
+            compiler_params=_compiler_params(interpret),
             interpret=interpret,
         )(meta, qp, letters, lengths)
 
@@ -527,6 +545,176 @@ def build_pallas_ragged_fn_raw(
 def build_pallas_ragged_fn(*args, **kw):
     """Jitted ragged-stream scorer (see build_pallas_ragged_fn_raw)."""
     return jax.jit(build_pallas_ragged_fn_raw(*args, **kw))
+
+
+def _kernel_multi_sw(
+    qp_ref, letters_ref, out_ref, h_ref, e_ref, m_ref, l32_ref,
+    *, seg_qpads, Q_pad, TC, B, go, ge, is_first, is_last,
+):
+    """SW score-only with N queries stacked along the row axis.
+
+    Each query is an independent DP segment. Segment isolation comes from
+    the ramp itself: segment s is ramped by local_r*Ge + s*SEG_M, so any
+    cross-segment candidate in the max-plus F scan arrives SEG_M lower and
+    is dominated (exact while |DP values| < SEG_M - Q_pad*Ge). Segment-start
+    rows take their virtual-row(-1) boundary from an explicit select, not
+    from the neighbouring segment. One pass therefore scores all queries
+    against the whole lane block — per-column fixed costs and launch
+    overheads amortize across queries (measured on v5e: +5-40% over
+    sequential launches, largest for short queries whose solo launches
+    underfill the column)."""
+    i32, f32 = jnp.int32, jnp.float32
+    n_seg = len(seg_qpads)
+    starts = [0]
+    for q in seg_qpads[:-1]:
+        starts.append(starts[-1] + q)
+    row_ids = jax.lax.broadcasted_iota(i32, (Q_pad, B), 0)
+    lane_a = jax.lax.broadcasted_iota(i32, (A_PAD, B), 0)
+    # hoisted segment constants (loop-invariant; Mosaic hoists)
+    seg0 = row_ids == 0
+    seg_idf = jnp.zeros((Q_pad, B), f32)
+    start_vec = jnp.zeros((Q_pad, B), f32)
+    for s in range(1, n_seg):
+        at = int(starts[s])
+        seg0 = seg0 | (row_ids == at)
+        seg_idf = seg_idf + (row_ids >= at).astype(f32)
+        start_vec = jnp.where(row_ids >= at, float(at), start_vec)
+    ramp2 = (row_ids.astype(f32) - start_vec) * ge + seg_idf * SEG_M
+
+    @pl.when(is_first())
+    def _init():
+        h_ref[:] = ramp2
+        e_ref[:] = ramp2
+        m_ref[:] = ramp2
+
+    l32_ref[:] = letters_ref[0].astype(i32)
+
+    def column(tt, _):
+        letters_t = l32_ref[pl.ds(tt, 1), :]
+        onehot = (lane_a == letters_t).astype(jnp.bfloat16)
+        Pp = jnp.dot(qp_ref[:], onehot, preferred_element_type=f32)  # P + Ge
+        Ht = h_ref[:]
+        Et = e_ref[:]
+        Enew = jnp.maximum(Ht - go, Et - ge)
+        diag = pltpu.roll(Ht, 1, axis=0) + Pp
+        diag = jnp.where(seg0, Pp + (ramp2 - ge), diag)  # H[-1]=0 boundary
+        Hp = jnp.maximum(Enew, diag)
+        Hp = jnp.maximum(Hp, ramp2)                      # SW clamp, ramped
+        X = pltpu.roll(Hp, 1, axis=0) + (ge - go)
+        X = jnp.where(seg0, ramp2 - go, X)               # c0 = -go boundary
+        k = 1
+        while k < Q_pad:
+            X = jnp.maximum(
+                X, jnp.where(row_ids >= k, pltpu.roll(X, k, axis=0), NEG)
+            )
+            k *= 2
+        Hnew = jnp.maximum(Hp, X)
+        h_ref[:] = Hnew
+        e_ref[:] = Enew
+        m_ref[:] = jnp.maximum(m_ref[:], Hnew)
+        return 0
+
+    jax.lax.fori_loop(0, TC, column, 0)
+
+    @pl.when(is_last())
+    def _emit():
+        mu = m_ref[:] - ramp2
+        for s in range(n_seg):
+            lo = int(starts[s])
+            hi = lo + int(seg_qpads[s])
+            seg_mask = (row_ids >= lo) & (row_ids < hi)
+            out_ref[0, s : s + 1, :] = jnp.max(
+                jnp.where(seg_mask, mu, NEG), axis=0, keepdims=True
+            ).astype(i32)
+
+
+@functools.lru_cache(maxsize=None)
+def build_pallas_multi_sw_fn_raw(
+    seg_qpads: tuple,
+    go: int,
+    ge: int,
+    B: int = LANE_BLOCK,
+    interpret: bool = False,
+):
+    """Ragged-stream multi-query SW score-only scorer (see _kernel_multi_sw).
+
+    fn(meta[4, C] i32, qp[Q_pad, A_PAD] bf16, letters[C, TC, B] i8,
+    nb_token[NB]) -> scores [NB, n_seg, B] (nb_token only conveys NB).
+    seg_qpads: 16-quantized padded per-query row counts (cache key)."""
+    if ge > go:
+        raise ValueError("pallas path requires gap_ext <= gap_open")
+    if len(seg_qpads) > MULTI_MAX_SEGS:
+        raise ValueError(f"too many stacked queries ({len(seg_qpads)})")
+    Q_pad = int(sum(seg_qpads))
+    if Q_pad > max_q_pad(B, 3):
+        raise ValueError("stacked queries too long for lane width")
+    n_seg = len(seg_qpads)
+
+    # The number of output blocks is data-dependent (per database), so the
+    # pallas_call is assembled per (C, NB) shape; jit retraces per shape.
+    def make(C: int, NB: int):
+        def kernel_wrapper(meta_ref, *refs):
+            c = pl.program_id(0)
+            functools.partial(
+                _kernel_multi_sw,
+                seg_qpads=seg_qpads, Q_pad=Q_pad, TC=T_CHUNK, B=B,
+                go=go, ge=ge,
+                is_first=lambda: meta_ref[1, c] == 1,
+                is_last=lambda: meta_ref[2, c] == 1,
+            )(*refs)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(C,),
+            in_specs=[
+                pl.BlockSpec((Q_pad, A_PAD), lambda c, m: (0, 0)),
+                pl.BlockSpec((1, T_CHUNK, B), lambda c, m: (c, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, n_seg, B), lambda c, m: (m[0, c], 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((Q_pad, B), jnp.float32),
+                pltpu.VMEM((Q_pad, B), jnp.float32),
+                pltpu.VMEM((Q_pad, B), jnp.float32),
+                pltpu.VMEM((T_CHUNK, B), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel_wrapper,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((NB, n_seg, B), jnp.int32),
+            compiler_params=_compiler_params(interpret),
+            interpret=interpret,
+        )
+
+    @jax.jit
+    def jitted(meta, qp, letters, nb_token):
+        return make(letters.shape[0], nb_token.shape[0])(meta, qp, letters)
+
+    return jitted
+
+
+def prepare_qp_multi(qprofiles, ge: int):
+    """Stack query profiles ([A, Q_i] ints) into one [Q_pad, A_PAD] f32
+    P + Ge operand with PAD_NEG padding; each segment's rows are 16-quantized
+    (cache-friendly). Returns (qp, seg_qpads, seg_qs)."""
+    seg_qpads = []
+    seg_qs = []
+    for qprofile in qprofiles:
+        A, Qi = qprofile.shape
+        if A > PAD_LETTER:
+            raise ValueError(f"alphabet too large for pallas path ({A})")
+        seg_qs.append(Qi)
+        seg_qpads.append(_round_up(max(Qi, 16), 16))
+    Q_pad = int(sum(seg_qpads))
+    qp = np.full((Q_pad, A_PAD), float(PAD_NEG), dtype=np.float32)
+    off = 0
+    for qprofile, qpad in zip(qprofiles, seg_qpads):
+        A, Qi = qprofile.shape
+        qp[off : off + Qi, :A] = (
+            np.asarray(qprofile, dtype=np.float32).T + float(ge)
+        )
+        off += qpad
+    return qp, tuple(seg_qpads), seg_qs
 
 
 def prepare_qp(qprofile: np.ndarray, ge: int) -> np.ndarray:

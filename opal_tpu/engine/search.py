@@ -200,6 +200,82 @@ def search_database_arrays(
     return out
 
 
+def search_database_multi_arrays(
+    queries,
+    db,
+    gap_open: int = 3,
+    gap_ext: int = 1,
+    matrix=None,
+    mode: int = MODE_SW,
+    search_type: int = SEARCH_SCORE,
+    engine: Optional[Engine] = None,
+):
+    """Many-queries-vs-database search. Returns one array-dict per query
+    (see search_database_arrays), in query order.
+
+    This is the production serving shape (a batch of queries against a
+    resident database) the reference has no equivalent for (its CLI reads
+    only the first query sequence, src/opal_aligner.cpp:106-110). On the
+    pallas TPU backend, SW score-only batches run as *stacked* kernel
+    launches — up to 8 queries share one DP pass as independent row
+    segments (engine/pallas_kernels.py::_kernel_multi_sw), amortizing
+    launch and per-column costs (~40% more GCUPS than sequential launches
+    at typical query lengths). Other modes/search types run per query on
+    the resident database."""
+    if matrix is None:
+        raise ValueError("matrix is required")
+    engine = engine or get_default_engine()
+    queries = [np.asarray(q, dtype=np.uint8) for q in queries]
+    ddb = engine._get_resident(db)
+    backend = engine._resolve_backend()
+    matrix_np = np.asarray(matrix, dtype=np.int32)
+    A = matrix_np.shape[0]
+
+    out: list = [None] * len(queries)
+    stackable = (
+        mode == MODE_SW
+        and search_type == SEARCH_SCORE
+        and engine.config.precision != "adaptive"
+        and ddb.mesh is None
+        and getattr(backend, "supports_multi", None) is not None
+    )
+    i = 0
+    while i < len(queries):
+        group = []
+        if stackable:
+            j = i
+            while (
+                j < len(queries)
+                and len(group) < 8
+                and backend.supports_multi(
+                    queries[i : j + 1], gap_open, gap_ext,
+                    ddb.block_size, A, matrix_np,
+                )
+            ):
+                group = queries[i : j + 1]
+                j += 1
+        if len(group) >= 2:
+            qprofiles = [
+                np.ascontiguousarray(matrix_np[q.astype(np.int64)].T)
+                for q in group
+            ]
+            handle = backend.dispatch_multi(qprofiles, ddb, gap_open, gap_ext)
+            per_query = backend.collect_multi(handle, ddb)
+            for s in range(len(group)):
+                arr = np.empty(ddb.n, dtype=np.int32)
+                for blk, scores in per_query[s]:
+                    arr[blk.indices] = scores
+                out[i + s] = {"score": arr}
+            i += len(group)
+        else:
+            out[i] = search_database_arrays(
+                queries[i], ddb, gap_open, gap_ext, matrix, mode=mode,
+                search_type=search_type, engine=engine,
+            )
+            i += 1
+    return out
+
+
 _default_engine: Optional[Engine] = None
 
 

@@ -1,0 +1,135 @@
+"""Multi-query stacked search: correctness of the segmented SW kernel
+(interpret mode on CPU), the public multi API, and the CLI --all-queries
+flag. The stacked kernel is a new TPU-native capability with no reference
+equivalent (the reference CLI reads only the first query sequence,
+src/opal_aligner.cpp:106-110)."""
+import io
+
+import numpy as np
+import pytest
+
+from opal_tpu.constants import MODE_NW, MODE_SW, SEARCH_SCORE
+from opal_tpu.engine.pallas_backend import PallasBackend
+from opal_tpu.engine.search import (
+    Engine,
+    search_database_arrays,
+    search_database_multi_arrays,
+)
+from opal_tpu.oracle import search_oracle
+
+from util import random_problem
+
+
+def _random_setup(seed, n_queries=4, n_seqs=60):
+    rng = np.random.default_rng(seed)
+    A = 20
+    matrix = rng.integers(-4, 6, size=(A, A), dtype=np.int32)
+    np.fill_diagonal(matrix, rng.integers(3, 9, size=A))
+    queries = [
+        rng.integers(0, A, size=int(n), dtype=np.uint8)
+        for n in rng.integers(4, 150, size=n_queries)
+    ]
+    db = [
+        rng.integers(0, A, size=int(rng.integers(5, 250)), dtype=np.uint8)
+        for _ in range(n_seqs)
+    ]
+    return queries, db, matrix
+
+
+def _interpret_engine(block_size=64):
+    eng = Engine(backend="pallas", block_size=block_size)
+    eng._backend = PallasBackend(interpret=True)
+    return eng
+
+
+def test_stacked_kernel_matches_oracle_interpret():
+    queries, db, matrix = _random_setup(11)
+    eng = _interpret_engine()
+    outs = search_database_multi_arrays(
+        queries, db, 4, 2, matrix, engine=eng
+    )
+    assert len(outs) == len(queries)
+    for q, out in zip(queries, outs):
+        want = search_oracle(q, db, 4, 2, matrix, MODE_SW, SEARCH_SCORE)
+        np.testing.assert_array_equal(
+            out["score"], np.array([r.score for r in want])
+        )
+
+
+def test_stacked_kernel_single_query_and_gap_variants():
+    queries, db, matrix = _random_setup(12, n_queries=2, n_seqs=30)
+    eng = _interpret_engine()
+    for go, ge in ((3, 1), (5, 5), (11, 1)):
+        outs = search_database_multi_arrays(
+            queries, db, go, ge, matrix, engine=eng
+        )
+        for q, out in zip(queries, outs):
+            want = search_oracle(q, db, go, ge, matrix, MODE_SW, SEARCH_SCORE)
+            np.testing.assert_array_equal(
+                out["score"], np.array([r.score for r in want])
+            )
+
+
+def test_multi_api_fallback_paths_match_single():
+    queries, db, matrix = _random_setup(13, n_queries=3, n_seqs=25)
+    eng = Engine(backend="xla", block_size=32)
+    # XLA backend has no stacked path: must fall back per query
+    outs = search_database_multi_arrays(
+        queries, db, 3, 1, matrix, mode=MODE_NW, engine=eng
+    )
+    for q, out in zip(queries, outs):
+        single = search_database_arrays(
+            q, db, 3, 1, matrix, mode=MODE_NW, engine=eng
+        )
+        np.testing.assert_array_equal(out["score"], single["score"])
+
+
+def test_multi_respects_value_bound_gate():
+    # a query long enough to overflow the segmented-scan bound must be
+    # handled (via fallback), not silently wrong
+    rng = np.random.default_rng(14)
+    A = 4
+    matrix = np.full((A, A), -1, np.int32)
+    np.fill_diagonal(matrix, 2**14)  # worst-case score >> 2^18
+    queries = [rng.integers(0, A, size=40, dtype=np.uint8) for _ in range(2)]
+    db = [rng.integers(0, A, size=60, dtype=np.uint8) for _ in range(10)]
+    eng = _interpret_engine()
+    outs = search_database_multi_arrays(queries, db, 3, 1, matrix, engine=eng)
+    for q, out in zip(queries, outs):
+        want = search_oracle(q, db, 3, 1, matrix, MODE_SW, SEARCH_SCORE)
+        np.testing.assert_array_equal(
+            out["score"], np.array([r.score for r in want])
+        )
+
+
+def test_cli_all_queries(tmp_path, capsys):
+    from opal_tpu import cli
+
+    queries, db, matrix = _random_setup(15, n_queries=3, n_seqs=8)
+    from opal_tpu.matrices import ScoreMatrix
+
+    sm = ScoreMatrix.blosum50()
+    alpha = sm.alphabet
+    qf = tmp_path / "q.fa"
+    dbf = tmp_path / "db.fa"
+    rng = np.random.default_rng(16)
+    qf.write_text("".join(
+        f">q{i}\n" + "".join(alpha[j] for j in rng.integers(0, 20, size=30))
+        + "\n" for i in range(3)
+    ))
+    dbf.write_text("".join(
+        f">t{i}\n" + "".join(alpha[j] for j in rng.integers(0, 20, size=50))
+        + "\n" for i in range(5)
+    ))
+    rc = cli.main(["--all-queries", "--backend", "xla", str(qf), str(dbf)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Read 3 query sequences" in out
+    assert out.count("Query #") == 3
+    assert out.count("\n#0:") == 3  # one result line per query section
+
+    # single-query output must not contain the multi-query headers
+    rc = cli.main(["--backend", "xla", str(qf), str(dbf)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Query #" not in out
