@@ -74,7 +74,10 @@ A_PAD = 32           # one-hot width / MXU contraction dim
 PAD_LETTER = A_PAD - 1  # reserved letter index used for all padding
 LANE_BLOCK = 512     # default B (DB sequences per kernel call)
 T_CHUNK = 64         # target positions per grid step
-VMEM_STATE_BUDGET = 18 * 1024 * 1024  # DP-state budget (bytes)
+# DP-state budget: scratch arrays only; compiler temporaries take roughly
+# another 1.5x of it, all inside VMEM_LIMIT (validated on v5e at Q=3000,
+# B=1024: 3 x 12M scratch + temps fit under the 100M scoped ceiling).
+VMEM_STATE_BUDGET = 36 * 1024 * 1024
 VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic scoped-VMEM ceiling (v5e has 128M)
 
 # Multi-query stacking (SW score-only): queries stacked along the row axis

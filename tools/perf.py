@@ -29,7 +29,7 @@ QUERIES = ["O74807", "P19930", "Q3ZAI3", "P18080"]  # reference: test/perf:8
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--db", default=None, help="FASTA DB (default: synthetic)")
-    ap.add_argument("--n-seqs", type=int, default=120000)
+    ap.add_argument("--n-seqs", type=int, default=541762)
     ap.add_argument("--modes", default="SW,NW,HW,OV")
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--block-size", type=int, default=1024)
@@ -42,10 +42,9 @@ def main():
     if args.db:
         db, _ = read_fasta_file(args.db, lut)
     else:
-        from make_synth_db import make_db
+        from make_synth_db import make_db_arrays
 
-        seqs = make_db(args.n_seqs, seed=12071)
-        db = [lut[np.frombuffer(s.encode(), dtype=np.uint8)] for s in seqs]
+        db = [lut[a] for a in make_db_arrays(args.n_seqs, seed=12071)]
     total = sum(len(s) for s in db)
     print(f"DB: {len(db)} sequences, {total} residues")
 
