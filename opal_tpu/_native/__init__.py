@@ -66,6 +66,7 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_int64,   # matrix, alpha
         ctypes.c_int32, ctypes.c_int32,    # score_limit, mode
         ctypes.c_int64, ctypes.c_int64,    # bottom, top
+        ctypes.c_int64, ctypes.c_int64,    # step, off (storage mapping)
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # Hm, Em, Fm
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # score, eq, et
         ctypes.c_void_p, ctypes.c_void_p,  # ops, ops_len
@@ -107,7 +108,14 @@ def find_alignment_native(query, target, go, ge, matrix, score_limit, mode,
     t = np.ascontiguousarray(target, dtype=np.uint8)
     m = np.ascontiguousarray(matrix, dtype=np.int32)
     Q, T = len(q), len(t)
-    need = Q * T
+    # band-relative storage when the band is narrower than the matrix:
+    # O(band * T) cells instead of the reference's O(Q * T)
+    W = int(bottom) + int(top) + 1
+    if W < Q:
+        rows, step, off = W, 1, int(top)
+    else:
+        rows, step, off = Q, 0, 0
+    need = rows * T
     if _work["size"] < need:
         _work["H"] = np.empty(need, np.int32)
         _work["E"] = np.empty(need, np.int32)
@@ -122,6 +130,7 @@ def find_alignment_native(query, target, go, ge, matrix, score_limit, mode,
         q.ctypes.data, Q, t.ctypes.data, T,
         np.int32(go), np.int32(ge), m.ctypes.data, m.shape[0],
         np.int32(score_limit), np.int32(mode), int(bottom), int(top),
+        step, off,
         _work["H"].ctypes.data, _work["E"].ctypes.data,
         _work["F"].ctypes.data,
         score.ctypes.data, end_q.ctypes.data, end_t.ctypes.data,

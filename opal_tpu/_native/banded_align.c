@@ -8,6 +8,13 @@
  * NumPy's per-column call overhead dominates in Python, hence this C hot
  * path (~100x faster per pair). Semantics identical to the Python fallback.
  *
+ * Memory: unlike the reference, which stores the full Q*T cell matrix
+ * (src/opal.cpp:1263 — its main long-sequence scaling weakness, see
+ * SURVEY.md §5), storage here is band-relative when the band is narrower
+ * than the matrix: cell (r, c) lives at ((r - c*step + off)*T + c) with
+ * (step=1, off=top, rows=top+bottom+1) banded or (step=0, off=0, rows=Q)
+ * full. O(band * T) instead of O(Q * T), bit-identical outputs.
+ *
  * Sentinel: LSB = INT32_MIN/2 + max(go, ge). Derived values are
  * LSB - k*ge - j*go with bounded k, j, so no wraparound is possible (unlike
  * the reference's INT_MIN-based sentinel, which wraps when go == ge);
@@ -37,13 +44,16 @@ int64_t opal_find_alignment(
     const uint8_t *query, int64_t Q, const uint8_t *target, int64_t T,
     int32_t go, int32_t ge, const int32_t *matrix, int64_t alpha,
     int32_t score_limit, int32_t mode, int64_t bottom, int64_t top,
-    int32_t *Hm, int32_t *Em, int32_t *Fm,   /* [Q*T] work, row-major [r*T+c] */
+    int64_t step, int64_t off,               /* storage mapping (see above) */
+    int32_t *Hm, int32_t *Em, int32_t *Fm,   /* [rows*T] work */
     int32_t *out_score, int64_t *out_end_q, int64_t *out_end_t,
     uint8_t *out_ops, int64_t *out_ops_len)
 {
     const int32_t INT32_MIN_HALF = -(int32_t)1073741824; /* -2^30 */
     const int32_t LSB = INT32_MIN_HALF + (go > ge ? go : ge);
     const int32_t NEGINF = INT32_MIN_HALF;
+
+#define IDX(r, c) (((r) - (c) * step + off) * T + (c))
 
     /* initial column (virtual column -1) */
     /* prevH[r] = -go - r*ge ; prevE[r] = LSB */
@@ -67,7 +77,7 @@ int64_t opal_find_alignment(
                 int64_t prs = (c - 1) - top; if (prs < 0) prs = 0;
                 int64_t pre = (c - 1) + bottom; if (pre > Q - 1) pre = Q - 1;
                 ulH = (rs - 1 >= prs && rs - 1 <= pre)
-                          ? Hm[(rs - 1) * T + (c - 1)] : LSB;
+                          ? Hm[IDX(rs - 1, c - 1)] : LSB;
             }
         }
         const int32_t *mrow_base = matrix;
@@ -82,7 +92,7 @@ int64_t opal_find_alignment(
                 int64_t prs = (c - 1) - top; if (prs < 0) prs = 0;
                 int64_t pre = (c - 1) + bottom; if (pre > Q - 1) pre = Q - 1;
                 if (r < prs || r > pre) { pH = LSB; pE = LSB; }
-                else { pH = Hm[r * T + c - 1]; pE = Em[r * T + c - 1]; }
+                else { pH = Hm[IDX(r, c - 1)]; pE = Em[IDX(r, c - 1)]; }
             }
             int32_t E = max32(pH - go, pE - ge);
             int32_t F = max32(uH - go, uF - ge);
@@ -97,11 +107,11 @@ int64_t opal_find_alignment(
             else {
                 int64_t prs = (c - 1) - top; if (prs < 0) prs = 0;
                 int64_t pre = (c - 1) + bottom; if (pre > Q - 1) pre = Q - 1;
-                ulH = (r < prs || r > pre) ? LSB : Hm[r * T + c - 1];
+                ulH = (r < prs || r > pre) ? LSB : Hm[IDX(r, c - 1)];
             }
-            Hm[r * T + c] = H;
-            Em[r * T + c] = E;
-            Fm[r * T + c] = F;
+            Hm[IDX(r, c)] = H;
+            Em[IDX(r, c)] = E;
+            Fm[IDX(r, c)] = F;
             H_last = H;
         }
         /* out-of-band rows of this column read as LSB lazily (see pH/pE). */
@@ -123,7 +133,7 @@ int64_t opal_find_alignment(
         int64_t re = last_col + bottom; if (re > Q - 1) re = Q - 1;
         end_q = -1;
         for (int64_t r = rs; r <= re; r++) {
-            if (Hm[r * T + last_col] == max_score) { end_q = r; break; }
+            if (Hm[IDX(r, last_col)] == max_score) { end_q = r; break; }
         }
         if (end_q < 0) return -1;
     }
@@ -136,9 +146,9 @@ int64_t opal_find_alignment(
         int64_t rs = cc - top; if (rs < 0) rs = 0;
         int64_t re = cc + bottom; if (re > Q - 1) re = Q - 1;
         int in_band = (r >= rs && r <= re);
-        int32_t vH = in_band ? Hm[r * T + cc] : LSB;
-        int32_t vE = in_band ? Em[r * T + cc] : LSB;
-        int32_t vF = in_band ? Fm[r * T + cc] : LSB;
+        int32_t vH = in_band ? Hm[IDX(r, cc)] : LSB;
+        int32_t vE = in_band ? Em[IDX(r, cc)] : LSB;
+        int32_t vF = in_band ? Fm[IDX(r, cc)] : LSB;
         if (field == 0) {
             if (vH == vE) field = 1;
             else if (vH == vF) field = 2;
@@ -150,14 +160,15 @@ int64_t opal_find_alignment(
             if (cc > 0) {
                 int64_t prs = (cc - 1) - top; if (prs < 0) prs = 0;
                 int64_t pre = (cc - 1) + bottom; if (pre > Q - 1) pre = Q - 1;
-                int32_t lH = (r >= prs && r <= pre) ? Hm[r * T + cc - 1] : LSB;
+                int32_t lH = (r >= prs && r <= pre) ? Hm[IDX(r, cc - 1)] : LSB;
                 field = (vE == lH - go) ? 0 : 1;
             }
             out_ops[n++] = OP_INS;
             cc--;
         } else {
             if (r > 0) {
-                int32_t upH = (r - 1 >= rs && r - 1 <= re) ? Hm[(r - 1) * T + cc] : LSB;
+                int32_t upH = (r - 1 >= rs && r - 1 <= re)
+                                  ? Hm[IDX(r - 1, cc)] : LSB;
                 field = (vF == upH - go) ? 0 : 2;
             }
             out_ops[n++] = OP_DEL;
@@ -179,4 +190,5 @@ int64_t opal_find_alignment(
     *out_end_t = end_t;
     *out_ops_len = n;
     return 0;
+#undef IDX
 }

@@ -89,10 +89,23 @@ def find_alignment(
 
     P = m[query][:, target]  # profile: P[r, c]
 
-    # Full (column-major in the reference; here [Q, T]) H/E/F matrices.
-    Hm = np.full((Q, T), LSB, dtype=np.int64)
-    Em = np.full((Q, T), LSB, dtype=np.int64)
-    Fm = np.full((Q, T), LSB, dtype=np.int64)
+    # Band-relative cell storage: where the reference stores the full Q*T
+    # matrix (src/opal.cpp:1263 — its main long-sequence memory weakness),
+    # cell (r, c) lives at row (r - c*step + off) so only O(band * T) cells
+    # are kept when the band is narrower than the matrix.
+    W = bottom + top + 1
+    if W < Q:
+        rows, step, off = W, 1, top
+    else:
+        rows, step, off = Q, 0, 0
+    Hm = np.full((rows, T), LSB, dtype=np.int64)
+    Em = np.full((rows, T), LSB, dtype=np.int64)
+    Fm = np.full((rows, T), LSB, dtype=np.int64)
+
+    def _read(arr, r, cc, col_rs, col_re):
+        if r < col_rs or r > col_re:
+            return LSB
+        return int(arr[r - cc * step + off, cc])
 
     prevH = -Go - np.arange(Q, dtype=np.int64) * Ge  # initial column H
     prevE = np.full(Q, LSB, dtype=np.int64)
@@ -107,8 +120,8 @@ def find_alignment(
         if re < rs:
             # column beyond the band's reach: all cells -inf (the reference
             # runs an empty row loop here, keeping its stale H)
-            prevH = Hm[:, c].copy()
-            prevE = Em[:, c].copy()
+            prevH = np.full(Q, LSB, dtype=np.int64)
+            prevE = np.full(Q, LSB, dtype=np.int64)
             if mode in (MODE_HW, MODE_OV):
                 max_score = max(max_score, H_last)
             c += 1
@@ -150,9 +163,10 @@ def find_alignment(
                 Hcol[i] = Hi
                 fuF, fuH = Fi, Hi
 
-        Hm[rs : re + 1, c] = Hcol
-        Em[rs : re + 1, c] = E
-        Fm[rs : re + 1, c] = F
+        brs = rs - c * step + off
+        Hm[brs : brs + n, c] = Hcol
+        Em[brs : brs + n, c] = E
+        Fm[brs : brs + n, c] = F
         H_last = int(Hcol[-1])
 
         if mode == MODE_SW:
@@ -164,9 +178,11 @@ def find_alignment(
             # "last row" (src/opal.cpp:1329-1331)
             max_score = max(max_score, H_last)
 
-        # next column's prev state: full columns (out-of-band rows hold LSB)
-        prevH = Hm[:, c].copy()
-        prevE = Em[:, c].copy()
+        # next column's prev state (out-of-band rows hold LSB)
+        prevH = np.full(Q, LSB, dtype=np.int64)
+        prevE = np.full(Q, LSB, dtype=np.int64)
+        prevH[rs : re + 1] = Hcol
+        prevE[rs : re + 1] = E
         c += 1
 
     last_col = c - 1
@@ -181,21 +197,31 @@ def find_alignment(
     elif mode in (MODE_SW, MODE_OV):
         score = max_score
         end_t = last_col
-        col = Hm[:, last_col]
+        rs = max(0, last_col - top)
+        re = min(Q - 1, last_col + bottom)
+        brs = rs - last_col * step + off
+        col = Hm[brs : brs + (re - rs + 1), last_col]
         idx = np.nonzero(col == max_score)[0]
         if idx.size == 0:
             raise AlignmentError("end location not found in last column")
-        end_q = int(idx[0])
+        end_q = rs + int(idx[0])
     else:
         raise ValueError(f"invalid mode {mode}")
 
     # Backtrace (reference: src/opal.cpp:1364-1416). Fields: 0=H, 1=E, 2=F.
+    # Out-of-band cells read as LSB (_read checks the band per column).
     ops: list[int] = []
     r, cc = end_q, end_t
     field = 0
     while r >= 0 and cc >= 0:
+        rs = max(0, cc - top)
+        re = min(Q - 1, cc + bottom)
+        prs = max(0, cc - 1 - top)
+        pre = min(Q - 1, cc - 1 + bottom)
         if field == 0:
-            h, e, f = int(Hm[r, cc]), int(Em[r, cc]), int(Fm[r, cc])
+            h = _read(Hm, r, cc, rs, re)
+            e = _read(Em, r, cc, rs, re)
+            f = _read(Fm, r, cc, rs, re)
             if h == e:
                 field = 1
             elif h == f:
@@ -206,12 +232,16 @@ def find_alignment(
                 cc -= 1
         elif field == 1:
             if cc > 0:
-                field = 0 if int(Em[r, cc]) == int(Hm[r, cc - 1]) - Go else 1
+                e = _read(Em, r, cc, rs, re)
+                lh = _read(Hm, r, cc - 1, prs, pre)
+                field = 0 if e == lh - Go else 1
             ops.append(ALIGN_INS)
             cc -= 1
         else:
             if r > 0:
-                field = 0 if int(Fm[r, cc]) == int(Hm[r - 1, cc]) - Go else 2
+                f = _read(Fm, r, cc, rs, re)
+                uh = _read(Hm, r - 1, cc, rs, re)
+                field = 0 if f == uh - Go else 2
             ops.append(ALIGN_DEL)
             r -= 1
     while r >= 0:

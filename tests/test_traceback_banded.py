@@ -1,0 +1,97 @@
+"""Band-relative traceback storage: bit-identical to full storage, native
+matches the Python fallback, and memory actually shrinks to O(band * T)
+(the reference keeps the full Q*T cell matrix — src/opal.cpp:1263)."""
+import numpy as np
+import pytest
+
+from opal_tpu import _native
+from opal_tpu.constants import MODE_HW, MODE_NW, MODE_OV, MODE_SW
+from opal_tpu.oracle import search_oracle
+from opal_tpu.traceback import align_pair_reverse_trick, find_alignment
+
+from util import check_alignment, random_problem
+
+MODES = [MODE_SW, MODE_NW, MODE_HW, MODE_OV]
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_native_matches_python_fallback(mode):
+    rng = np.random.default_rng(31 + mode)
+    query, db, matrix = random_problem(
+        rng, n_seqs=6, query_len=70, min_len=30, max_len=160
+    )
+    from opal_tpu.constants import SEARCH_SCORE_END
+
+    want = search_oracle(query, db, 3, 1, matrix, mode, SEARCH_SCORE_END)
+    for t, w in zip(db, want):
+        if mode == MODE_SW and w.score == 0:
+            continue
+        args = (
+            query[: w.end_location_query + 1][::-1],
+            t[: w.end_location_target + 1][::-1],
+            3, 1, matrix, w.score, mode,
+        )
+        nat = find_alignment(*args, use_native=True)
+        py = find_alignment(*args, use_native=False)
+        assert nat[0] == py[0] == w.score
+        assert nat[1] == py[1] and nat[2] == py[2]
+        np.testing.assert_array_equal(nat[3], py[3])
+
+
+def test_banded_equals_full_band():
+    rng = np.random.default_rng(77)
+    query, db, matrix = random_problem(
+        rng, n_seqs=5, query_len=60, min_len=40, max_len=120
+    )
+    from opal_tpu.constants import SEARCH_SCORE_END
+
+    want = search_oracle(query, db, 5, 2, matrix, MODE_SW, SEARCH_SCORE_END)
+    for t, w in zip(db, want):
+        if w.score == 0:
+            continue
+        aq = query[: w.end_location_query + 1][::-1]
+        at = t[: w.end_location_target + 1][::-1]
+        banded = find_alignment(aq, at, 5, 2, matrix, w.score, MODE_SW,
+                                use_native=False)
+        full = find_alignment(aq, at, 5, 2, matrix, w.score, MODE_SW,
+                              full_band=True, use_native=False)
+        assert banded[0] == full[0]
+        assert banded[1:3] == full[1:3]
+        np.testing.assert_array_equal(banded[3], full[3])
+
+
+def test_long_similar_pair_uses_narrow_band_memory():
+    if _native._get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(8)
+    A = 20
+    matrix = np.full((A, A), -2, np.int32)
+    np.fill_diagonal(matrix, 5)
+    Q = 4000
+    query = rng.integers(0, A, size=Q, dtype=np.uint8)
+    target = query.copy()
+    mut = rng.integers(0, Q, size=40)
+    target[mut] = (target[mut] + 1) % A  # a few mismatches: high score
+    from opal_tpu.constants import SEARCH_SCORE_END
+    from opal_tpu.result import SearchResult
+
+    w = search_oracle(query, [target], 3, 1, matrix, MODE_SW,
+                      SEARCH_SCORE_END)[0]
+    _native._work["size"] = 0  # reset the cached work buffers
+    _native._work["H"] = _native._work["E"] = _native._work["F"] = None
+    sq, st, ops = align_pair_reverse_trick(
+        query, target, 3, 1, matrix, w.score,
+        w.end_location_query, w.end_location_target, MODE_SW,
+    )
+    allocated = _native._work["size"]
+    assert allocated > 0, "native path did not run"
+    full = (w.end_location_query + 1) * (w.end_location_target + 1)
+    assert allocated < full / 4, (allocated, full)
+    res = SearchResult(
+        score_set=1, score=w.score,
+        end_location_query=w.end_location_query,
+        end_location_target=w.end_location_target,
+        start_location_query=sq, start_location_target=st,
+        alignment=ops, alignment_length=len(ops),
+    )
+    check_alignment(query, target, res, 3, 1, matrix, MODE_SW)
