@@ -116,6 +116,13 @@ def main(argv=None) -> int:
             print("Given score matrix name is not valid", file=sys.stderr)
             return 1
     mode = MODE_CODES[args.mode]
+    if args.search_type == SEARCH_ALIGNMENT and args.gap_ext > args.gap_open:
+        print(
+            "opal_tpu: error: alignment search (-x 2) requires "
+            "gap_ext <= gap_open (scores via -x 0/1 remain available)",
+            file=sys.stderr,
+        )
+        return 1
     lut = score_matrix.letter_index()
 
     print(f"Using {args.mode} alignment mode.")

@@ -34,7 +34,7 @@ from ..constants import (
     SEARCH_SCORE,
 )
 from ..result import SearchResult
-from ..traceback import align_pair_reverse_trick
+from ..traceback import AlignmentError, align_pair_reverse_trick
 from .batching import plan_blocks
 
 
@@ -308,6 +308,17 @@ def search_database(
         raise ValueError(f"invalid mode {mode}")
     if matrix is None:
         raise ValueError("matrix is required")
+    if search_type == SEARCH_ALIGNMENT and gap_ext > gap_open:
+        # With gap_ext > gap_open the DP's effective gap model lets interior
+        # gaps re-open (cost go per residue) while boundary gaps cannot, so
+        # optimal scores are not reversal-invariant and reconstructed paths
+        # would not replay to their reported affine score. The reference has
+        # the same gap model and would abort on its reverse-pass assert
+        # (src/opal.cpp:1497); scores (SEARCH_SCORE/SCORE_END) remain exact.
+        raise ValueError(
+            "alignment reconstruction requires gap_ext <= gap_open "
+            "(scores are still available via search_type 0/1)"
+        )
     engine = engine or get_default_engine()
     query = np.asarray(query, dtype=np.uint8)
     from .device_db import DeviceDatabase
@@ -386,17 +397,37 @@ def search_database(
                 r.start_location_query = r.start_location_target = -1
                 r.end_location_query = r.end_location_target = -1
             else:
-                sq, st, ops = align_pair_reverse_trick(
-                    query,
-                    db_list[i],
-                    gap_open,
-                    gap_ext,
-                    matrix,
-                    r.score,
-                    r.end_location_query,
-                    r.end_location_target,
-                    mode,
-                )
+                try:
+                    sq, st, ops = align_pair_reverse_trick(
+                        query,
+                        db_list[i],
+                        gap_open,
+                        gap_ext,
+                        matrix,
+                        r.score,
+                        r.end_location_query,
+                        r.end_location_target,
+                        mode,
+                    )
+                except AlignmentError as exc:
+                    # Degenerate optimum not representable as an anchored
+                    # path (e.g. a pure-deletion HW/OV alignment consuming
+                    # zero target letters). The reference aborts on its
+                    # reverse-pass assert here (src/opal.cpp:1497); we keep
+                    # the exact score/end and omit the path.
+                    import warnings
+
+                    warnings.warn(
+                        f"sequence {i}: alignment path not reconstructible "
+                        f"({exc}); score/end locations remain exact",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    r.alignment = None
+                    r.alignment_length = 0
+                    r.start_location_query = -1
+                    r.start_location_target = -1
+                    continue
                 r.start_location_query = sq
                 r.start_location_target = st
                 r.alignment = ops

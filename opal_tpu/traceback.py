@@ -70,7 +70,13 @@ def find_alignment(
     if full_band:
         bottom, top = Q - 1, T - 1
     else:
-        bottom, top = band_borders(score_limit, mode, Q, T, Go, Ge, M)
+        try:
+            bottom, top = band_borders(score_limit, mode, Q, T, Go, Ge, M)
+        except ZeroDivisionError:
+            # zero gap penalties: the closed-form band math divides by the
+            # gap costs (the reference would hit the same division,
+            # src/opal.cpp:1057-1124); every cell can be on an optimal path
+            bottom, top = Q - 1, T - 1
     if not (0 <= bottom < Q and 0 <= top < T):
         raise AlignmentError(
             f"no band for score_limit={score_limit} (band=({bottom},{top}))"

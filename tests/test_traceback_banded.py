@@ -95,3 +95,44 @@ def test_long_similar_pair_uses_narrow_band_memory():
         alignment=ops, alignment_length=len(ops),
     )
     check_alignment(query, target, res, 3, 1, matrix, MODE_SW)
+
+
+def test_zero_gap_penalties_alignment():
+    # go == ge == 0: the closed-form band math divides by the gap costs;
+    # must fall back to the full band and produce a replay-valid alignment
+    rng = np.random.default_rng(55)
+    query, db, matrix = random_problem(
+        rng, n_seqs=4, query_len=17, min_len=5, max_len=65
+    )
+    from opal_tpu.constants import SEARCH_ALIGNMENT
+    from opal_tpu.engine.search import Engine, search_database
+
+    eng = Engine(backend="xla", block_size=8)
+    for mode in MODES:
+        res = search_database(query, db, 0, 0, matrix, mode=mode,
+                              search_type=SEARCH_ALIGNMENT, engine=eng)
+        for t, r in zip(db, res):
+            if r.alignment is None:
+                continue
+            check_alignment(query, t, r, 0, 0, matrix, mode)
+
+
+def test_alignment_rejects_gap_ext_above_gap_open():
+    # ge > go: gap model is not reversal-invariant (the reference's
+    # reverse-pass assert would abort); must raise a clear error while
+    # score searches still work
+    rng = np.random.default_rng(56)
+    query, db, matrix = random_problem(
+        rng, n_seqs=3, query_len=15, min_len=10, max_len=40
+    )
+    from opal_tpu.constants import SEARCH_ALIGNMENT, SEARCH_SCORE
+    from opal_tpu.engine.search import Engine, search_database
+
+    eng = Engine(backend="xla", block_size=8)
+    with pytest.raises(ValueError, match="gap_ext <= gap_open"):
+        search_database(query, db, 2, 5, matrix, mode=MODE_SW,
+                        search_type=SEARCH_ALIGNMENT, engine=eng)
+    res = search_database(query, db, 2, 5, matrix, mode=MODE_SW,
+                          search_type=SEARCH_SCORE, engine=eng)
+    want = search_oracle(query, db, 2, 5, matrix, MODE_SW, SEARCH_SCORE)
+    assert [r.score for r in res] == [w.score for w in want]
