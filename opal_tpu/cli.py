@@ -61,6 +61,7 @@ def _run_queries(queries, db, args, score_matrix, mode, engine):
             q, db, args.gap_open, args.gap_ext, score_matrix.matrix,
             mode=mode, search_type=args.search_type,
             overflow_method=OVERFLOW_BUCKETS, engine=engine,
+            align_top_k=args.align_top,
         )
         for q in queries
     ]
@@ -95,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DB sequences per device block")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the search into DIR")
+    p.add_argument("--align-top", type=int, default=0, metavar="K",
+                   help="with -x 2: reconstruct alignment paths only for "
+                   "the K best-scoring sequences (others keep exact score "
+                   "and end locations); 0 = align all")
     p.add_argument("--all-queries", action="store_true",
                    help="search every sequence in the query file, not just "
                    "the first (batches of SW score searches run as stacked "

@@ -297,12 +297,20 @@ def search_database(
     overflow_method: int = OVERFLOW_BUCKETS,
     results: Optional[list[SearchResult]] = None,
     engine: Optional[Engine] = None,
+    align_top_k: int = 0,
 ) -> list[SearchResult]:
     """Search the database with the query; see module docstring.
 
     query: uint8 alphabet-index array. db: list of uint8 index arrays.
     matrix: [A, A] int array. results: optional pre-filled results to reuse
     (skip semantics). Returns the (possibly passed-in) list of SearchResult.
+
+    align_top_k: with SEARCH_ALIGNMENT, reconstruct alignment paths only for
+    the k best-scoring sequences (score desc, index asc); the rest keep
+    exact score + end locations (as if searched with SEARCH_SCORE_END).
+    0 = align everything (the reference's behavior). The scoring pass is
+    batched on the accelerator either way; this bounds the irregular
+    host-side per-pair traceback work — the serving pattern for large DBs.
     """
     if mode not in (MODE_NW, MODE_HW, MODE_OV, MODE_SW):
         raise ValueError(f"invalid mode {mode}")
@@ -388,8 +396,18 @@ def search_database(
                 r.end_location_target = -1
 
     if search_type == SEARCH_ALIGNMENT:
+        align_set = None
+        if align_top_k:
+            from ..ranking import rank_scores
+
+            scores = np.array(
+                [r.score if r.score_set else -(2**62) for r in results]
+            )
+            align_set = set(rank_scores(scores, align_top_k).tolist())
         for i in range(n):
             r = results[i]
+            if align_set is not None and i not in align_set:
+                continue  # keep exact score/end; no path for non-top-k
             if mode == MODE_SW and r.score == 0:
                 # reference: src/opal.cpp:1479-1483
                 r.alignment = None

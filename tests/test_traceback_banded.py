@@ -136,3 +136,32 @@ def test_alignment_rejects_gap_ext_above_gap_open():
                           search_type=SEARCH_SCORE, engine=eng)
     want = search_oracle(query, db, 2, 5, matrix, MODE_SW, SEARCH_SCORE)
     assert [r.score for r in res] == [w.score for w in want]
+
+
+def test_align_top_k_matches_full_run():
+    rng = np.random.default_rng(60)
+    query, db, matrix = random_problem(
+        rng, n_seqs=20, query_len=40, min_len=20, max_len=90
+    )
+    from opal_tpu.constants import SEARCH_ALIGNMENT
+    from opal_tpu.engine.search import Engine, search_database
+    from opal_tpu.ranking import rank_scores
+
+    eng = Engine(backend="xla", block_size=8)
+    full = search_database(query, db, 3, 1, matrix, mode=MODE_SW,
+                           search_type=SEARCH_ALIGNMENT, engine=eng)
+    topk = search_database(query, db, 3, 1, matrix, mode=MODE_SW,
+                           search_type=SEARCH_ALIGNMENT, engine=eng,
+                           align_top_k=5)
+    order = set(rank_scores(np.array([r.score for r in full]), 5).tolist())
+    for i, (f, t) in enumerate(zip(full, topk)):
+        assert t.score == f.score and t.end_location_query == f.end_location_query
+        if i in order:
+            assert t.start_location_query == f.start_location_query
+            np.testing.assert_array_equal(
+                t.alignment if t.alignment is not None else np.zeros(0),
+                f.alignment if f.alignment is not None else np.zeros(0),
+            )
+        else:
+            assert t.alignment is None
+            assert t.start_location_query == -1
