@@ -72,3 +72,45 @@ def test_interpret_score_only():
     want = search_oracle(query, db, 5, 2, matrix, MODE_SW, SEARCH_SCORE)
     for i, w in enumerate(want):
         assert out["score"][i] == w.score, i
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_interpret_ragged_stream(mode):
+    """The production dispatch path (single ragged pallas_call with
+    scalar-prefetched chunk metadata) on CPU via interpret mode."""
+    from opal_tpu.engine.pallas_backend import PallasBackend
+    from opal_tpu.engine.search import Engine, search_database
+
+    rng = np.random.default_rng(23 + mode)
+    query, db, matrix = random_problem(
+        rng, n_seqs=40, query_len=21, min_len=5, max_len=150
+    )
+    eng = Engine(backend="pallas", block_size=16)
+    eng._backend = PallasBackend(interpret=True)
+    res = search_database(query, db, 3, 1, matrix, mode=mode,
+                          search_type=SEARCH_SCORE_END, engine=eng)
+    want = search_oracle(query, db, 3, 1, matrix, mode, SEARCH_SCORE_END)
+    for i, (r, w) in enumerate(zip(res, want)):
+        assert r.score == w.score, i
+        if mode == MODE_SW and w.score == 0:
+            continue
+        assert (r.end_location_query, r.end_location_target) == (
+            w.end_location_query, w.end_location_target), i
+
+
+def test_interpret_ragged_with_flags():
+    from opal_tpu.engine.pallas_backend import PallasBackend
+    from opal_tpu.engine.search import Engine, search_database
+
+    rng = np.random.default_rng(29)
+    query, db, matrix = random_problem(
+        rng, n_seqs=12, query_len=18, min_len=8, max_len=70
+    )
+    eng = Engine(backend="pallas", block_size=8, precision="adaptive")
+    eng._backend = PallasBackend(interpret=True)
+    res = search_database(query, db, 3, 1, matrix, mode=MODE_SW,
+                          search_type=SEARCH_SCORE, engine=eng)
+    want = search_oracle(query, db, 3, 1, matrix, MODE_SW, SEARCH_SCORE)
+    assert [r.score for r in res] == [w.score for w in want]
+    assert eng.last_search_stats is not None
+    assert len(eng.last_search_stats["precision_bits"]) == len(db)
