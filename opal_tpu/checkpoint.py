@@ -1,0 +1,119 @@
+"""Durable checkpoint/resume for whole-database scans.
+
+The reference's only resumability is in-memory result reuse plus restartable
+1 GiB FASTA streaming (reference: src/opal.h:118-122, src/opal_aligner.cpp:
+125-201 — nothing survives a process death). For TPU-scale scans (hours of
+chips over billion-residue databases) interruption must be cheap, so the CLI
+can journal per-chunk results to disk: each completed DB chunk appends one
+JSON line; on restart with the same file, completed chunks replay from the
+journal (the FASTA is still parsed to keep deterministic chunk boundaries)
+and the search resumes at the first unfinished chunk.
+
+The journal is keyed by a digest of everything that determines the results
+(query residues, mode/search level/gaps, score matrix, DB identity); a
+mismatched journal is refused rather than silently misused.
+"""
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from .result import SearchResult
+
+_V = 1
+
+
+def search_key(queries, mode, search_type, gap_open, gap_ext, matrix,
+               db_path: str) -> str:
+    """Digest of all result-determining inputs."""
+    h = hashlib.sha256()
+    h.update(f"v{_V}|{mode}|{search_type}|{gap_open}|{gap_ext}|".encode())
+    for q in queries:
+        h.update(np.asarray(q, np.uint8).tobytes())
+        h.update(b"|")
+    h.update(np.ascontiguousarray(matrix, np.int64).tobytes())
+    try:
+        st = os.stat(db_path)
+        h.update(f"|{os.path.abspath(db_path)}|{st.st_size}".encode())
+    except OSError:
+        h.update(db_path.encode())
+    return h.hexdigest()
+
+
+def _encode_result(r: SearchResult) -> list:
+    ops = (base64.b64encode(np.asarray(r.alignment, np.uint8).tobytes())
+           .decode() if r.alignment is not None else None)
+    return [int(r.score_set), int(r.score),
+            int(r.end_location_query), int(r.end_location_target),
+            int(r.start_location_query), int(r.start_location_target), ops]
+
+
+def _decode_result(row: list) -> SearchResult:
+    r = SearchResult()
+    (r.score_set, r.score, r.end_location_query, r.end_location_target,
+     r.start_location_query, r.start_location_target) = map(int, row[:6])
+    if row[6] is not None:
+        r.alignment = np.frombuffer(
+            base64.b64decode(row[6]), dtype=np.uint8
+        ).copy()
+        r.alignment_length = len(r.alignment)
+    else:
+        r.alignment = None
+        r.alignment_length = 0 if r.start_location_query >= 0 else -1
+    return r
+
+
+class Checkpoint:
+    """Append-only per-chunk result journal (JSON lines)."""
+
+    def __init__(self, path: str, key: str):
+        self.path = path
+        self.key = key
+        self._done: dict[int, list] = {}
+        if os.path.exists(path) and os.path.getsize(path):
+            with open(path) as f:
+                header = json.loads(f.readline())
+                if header.get("key") != key:
+                    raise ValueError(
+                        f"checkpoint {path} belongs to a different search "
+                        "(query/db/flags changed); remove it or pass a "
+                        "different file"
+                    )
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        break  # torn tail write from an interrupted run
+                    self._done[int(rec["chunk"])] = rec["q"]
+        else:
+            with open(path, "w") as f:
+                f.write(json.dumps({"v": _V, "key": key}) + "\n")
+
+    def has(self, chunk: int) -> bool:
+        return chunk in self._done
+
+    def load(self, chunk: int) -> list[list[SearchResult]]:
+        """Per-query result lists for a completed chunk."""
+        return [
+            [_decode_result(row) for row in per_q]
+            for per_q in self._done[chunk]
+        ]
+
+    def save(self, chunk: int, per_query: list[list[SearchResult]]) -> None:
+        rec = {
+            "chunk": chunk,
+            "q": [[_encode_result(r) for r in rs] for rs in per_query],
+        }
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._done[chunk] = rec["q"]

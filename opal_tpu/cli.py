@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DB sequences per device block")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the search into DIR")
+    p.add_argument("--checkpoint", default=None, metavar="FILE",
+                   help="journal per-chunk results to FILE; re-running with "
+                   "the same file resumes after the last completed DB chunk")
+    p.add_argument("--chunk-residues", type=int, default=None,
+                   metavar="N", help="DB chunk residue budget "
+                   "(default ~1 GiB, like the reference)")
     p.add_argument("--align-top", type=int, default=0, metavar="K",
                    help="with -x 2: reconstruct alignment paths only for "
                    "the K best-scoring sequences (others keep exact score "
@@ -145,14 +151,33 @@ def main(argv=None) -> int:
 
     engine = Engine(backend=args.backend, block_size=args.block_size)
 
+    ckpt = None
+    if args.checkpoint:
+        from .checkpoint import Checkpoint, search_key
+
+        try:
+            ckpt = Checkpoint(
+                args.checkpoint,
+                search_key(queries, mode, args.search_type, args.gap_open,
+                           args.gap_ext, score_matrix.matrix, args.db),
+            )
+        except ValueError as exc:
+            print(f"opal_tpu: error: {exc}", file=sys.stderr)
+            return 1
+
+    read_kw = {}
+    if args.chunk_residues:
+        read_kw["max_residues"] = args.chunk_residues
+
     cpu_time = 0.0
     db_total_residues = 0
     db_total_len = 0
+    chunk_idx = 0
     whole_db_read = False
     with open(args.db, "rb") as dbf:
         while not whole_db_read:
             print("\nReading database fasta file...")
-            db, whole_db_read = read_fasta_sequences(dbf, lut)
+            db, whole_db_read = read_fasta_sequences(dbf, lut, **read_kw)
             n_res = sum(len(s) for s in db)
             print(f"Read {len(db)} database sequences, {n_res} residues total.")
             db_total_residues += n_res
@@ -169,14 +194,23 @@ def main(argv=None) -> int:
                 import jax.profiler as profiler
 
                 profiler.start_trace(args.profile)
-            start = time.perf_counter()
-            per_query = _run_queries(
-                queries, db, args, score_matrix, mode, engine
-            )
-            cpu_time += time.perf_counter() - start
-            if profiler is not None:
-                profiler.stop_trace()
-            print("\nFinished!")
+            if ckpt is not None and ckpt.has(chunk_idx):
+                per_query = ckpt.load(chunk_idx)
+                if profiler is not None:
+                    profiler.stop_trace()
+                print(f"\nChunk {chunk_idx} restored from checkpoint.")
+            else:
+                start = time.perf_counter()
+                per_query = _run_queries(
+                    queries, db, args, score_matrix, mode, engine
+                )
+                cpu_time += time.perf_counter() - start
+                if profiler is not None:
+                    profiler.stop_trace()
+                if ckpt is not None:
+                    ckpt.save(chunk_idx, per_query)
+                print("\nFinished!")
+            chunk_idx += 1
 
             if not args.silent:
                 base = db_total_len - len(db)

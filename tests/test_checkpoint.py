@@ -1,0 +1,65 @@
+"""CLI checkpoint/resume: per-chunk journaling, replay on restart, torn-tail
+tolerance, and key mismatch refusal. (The reference has no durable resume —
+SURVEY.md §5.)"""
+import json
+
+import numpy as np
+import pytest
+
+from opal_tpu import cli
+from opal_tpu.matrices import ScoreMatrix
+
+
+@pytest.fixture
+def files(tmp_path):
+    sm = ScoreMatrix.blosum50()
+    alpha = sm.alphabet
+    rng = np.random.default_rng(41)
+    qf = tmp_path / "q.fa"
+    qf.write_text(">q\n" + "".join(
+        alpha[j] for j in rng.integers(0, 20, size=30)) + "\n")
+    dbf = tmp_path / "db.fa"
+    dbf.write_text("".join(
+        f">t{i}\n" + "".join(alpha[j] for j in rng.integers(0, 20, size=50))
+        + "\n" for i in range(12)
+    ))
+    return str(qf), str(dbf), str(tmp_path / "ckpt.jsonl")
+
+
+ARGS = ["--backend", "xla", "--chunk-residues", "200", "-x", "2"]
+
+
+def _run(qf, dbf, ck, capsys, extra=()):
+    rc = cli.main([*ARGS, *extra, "--checkpoint", ck, qf, dbf])
+    out = capsys.readouterr().out
+    assert rc == 0
+    return [l for l in out.splitlines() if l.startswith("#")]
+
+
+def test_checkpoint_resume_identical_output(files, capsys):
+    qf, dbf, ck = files
+    first = _run(qf, dbf, ck, capsys)
+    # multiple chunks were journaled
+    recs = open(ck).read().splitlines()
+    assert len(recs) >= 3  # header + >=2 chunks
+
+    # full re-run: everything restored, zero search
+    second = _run(qf, dbf, ck, capsys)
+    assert second == first
+
+    # simulate an interrupted run: drop the last chunk record (+ a torn tail)
+    with open(ck, "w") as f:
+        f.write("\n".join(recs[:-1]) + "\n" + recs[-1][: len(recs[-1]) // 2])
+    third = _run(qf, dbf, ck, capsys)
+    assert third == first
+    # journal was repaired/completed
+    assert len(open(ck).read().splitlines()) == len(recs)
+
+
+def test_checkpoint_key_mismatch_refused(files, capsys):
+    qf, dbf, ck = files
+    _run(qf, dbf, ck, capsys)
+    rc = cli.main([*ARGS, "-o", "9", "--checkpoint", ck, qf, dbf])
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "different search" in err
