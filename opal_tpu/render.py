@@ -55,3 +55,29 @@ def render_alignment(query, target, res: SearchResult, alphabet: str) -> str:
         out.append("".join(row))
         out.append("")
     return "\n".join(out)
+
+
+def ops_to_cigar(ops) -> str:
+    """Compact CIGAR-style string for an ALIGN_* op array: runs of
+    '=' (match), 'X' (mismatch), 'D' (query residue over a gap),
+    'I' (target residue over a gap) — e.g. "12=1X3D40=".
+    (The reference exposes raw op arrays only; this is the serving-side
+    convenience encoding.)"""
+    import numpy as np
+
+    from .constants import ALIGN_DEL, ALIGN_INS, ALIGN_MATCH, ALIGN_MISMATCH
+
+    sym = {ALIGN_MATCH: "=", ALIGN_MISMATCH: "X",
+           ALIGN_DEL: "D", ALIGN_INS: "I"}
+    ops = np.asarray(ops)
+    if ops.size == 0:
+        return ""
+    out = []
+    run = 1
+    for i in range(1, len(ops) + 1):
+        if i < len(ops) and ops[i] == ops[i - 1]:
+            run += 1
+        else:
+            out.append(f"{run}{sym[int(ops[i - 1])]}")
+            run = 1
+    return "".join(out)

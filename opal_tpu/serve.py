@@ -1,0 +1,148 @@
+"""Resident-database search server.
+
+Production serving shape the reference has no equivalent for: load the
+database onto the TPU once, then answer query requests indefinitely —
+amortizing upload and kernel compilation across the deployment's lifetime.
+Protocol: one JSON object per line on stdin, one JSON response per line on
+stdout (easy to wrap in any RPC layer; also trivially scriptable).
+
+Request fields:
+  id          echo'd back (any JSON value)
+  query       residue string — or "queries": [str, ...] for a batch
+  mode        "SW" | "NW" | "HW" | "OV"      (default SW)
+  gap_open / gap_ext                          (default 3 / 1)
+  top_k       number of hits to return        (default 10; 0 = all)
+  align       true => reconstruct the top_k alignment paths (CIGARs)
+
+Response: {"id": ..., "hits": [[db_index, score], ...]} ranked by
+(score desc, index asc); with align: hits are
+[[index, score, start_q, start_t, end_q, end_t, cigar], ...].
+Batched SW score requests run as stacked multi-query kernel launches.
+
+Run: ``python -m opal_tpu.serve db.fasta [--matrix NAME] [--block-size N]``.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from .constants import MODE_CODES, MODE_SW, SEARCH_ALIGNMENT, SEARCH_SCORE
+from .engine.search import (
+    Engine,
+    search_database,
+    search_database_multi_arrays,
+)
+from .fasta import read_fasta_file
+from .matrices import ScoreMatrix
+from .ranking import rank_scores
+from .render import ops_to_cigar
+
+
+class Server:
+    def __init__(self, db_path: str, matrix_name: str = "Blosum50",
+                 matrix_file: str | None = None, block_size: int = 1024,
+                 backend: str = "auto"):
+        self.sm = (ScoreMatrix.from_file(matrix_file) if matrix_file
+                   else ScoreMatrix.from_name(matrix_name))
+        self.lut = self.sm.letter_index()
+        self.db, _ = read_fasta_file(db_path, self.lut)
+        self.engine = Engine(backend=backend, block_size=block_size)
+        self.ddb = self.engine.upload(self.db)
+
+    def _encode_query(self, s: str) -> np.ndarray:
+        if not s:
+            raise ValueError("empty query")
+        idx = self.lut[np.frombuffer(s.upper().encode(), dtype=np.uint8)]
+        if (idx == 255).any():
+            bad = s[int(np.nonzero(idx == 255)[0][0])]
+            raise ValueError(f"invalid residue {bad!r}")
+        return idx.astype(np.uint8)
+
+    def handle(self, req: dict) -> dict:
+        queries = req.get("queries")
+        single = queries is None
+        if single:
+            queries = [req["query"]]
+        qs = [self._encode_query(q) for q in queries]
+        mode = MODE_CODES[req.get("mode", "SW")]
+        go = int(req.get("gap_open", 3))
+        ge = int(req.get("gap_ext", 1))
+        top_k = int(req.get("top_k", 10))
+        align = bool(req.get("align", False))
+
+        if align:
+            answers = []
+            for q in qs:
+                res = search_database(
+                    q, self.ddb, go, ge, self.sm.matrix, mode=mode,
+                    search_type=SEARCH_ALIGNMENT, engine=self.engine,
+                    align_top_k=top_k or 0,
+                )
+                scores = np.array([r.score for r in res])
+                order = rank_scores(scores, top_k)
+                answers.append([
+                    [int(i), int(res[i].score),
+                     int(res[i].start_location_query),
+                     int(res[i].start_location_target),
+                     int(res[i].end_location_query),
+                     int(res[i].end_location_target),
+                     ops_to_cigar(res[i].alignment)
+                     if res[i].alignment is not None else None]
+                    for i in order
+                ])
+        else:
+            outs = search_database_multi_arrays(
+                qs, self.ddb, go, ge, self.sm.matrix, mode=mode,
+                search_type=SEARCH_SCORE, engine=self.engine,
+            )
+            answers = []
+            for out in outs:
+                order = rank_scores(out["score"], top_k)
+                answers.append(
+                    [[int(i), int(out["score"][i])] for i in order]
+                )
+        return {"hits": answers[0]} if single else {"hits": answers}
+
+    def run(self, fin=None, fout=None) -> int:
+        fin = fin or sys.stdin
+        fout = fout or sys.stdout
+        print(json.dumps({"ready": True, "n_db": len(self.db),
+                          "residues": int(self.ddb.total_residues)}),
+              file=fout, flush=True)
+        for line in fin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                resp = {"id": req.get("id"), **self.handle(req)}
+            except Exception as exc:  # noqa: BLE001 — protocol boundary
+                try:
+                    rid = json.loads(line).get("id")
+                except Exception:
+                    rid = None
+                resp = {"id": rid, "error": f"{type(exc).__name__}: {exc}"}
+            print(json.dumps(resp), file=fout, flush=True)
+        return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="opal_tpu.serve",
+                                description=__doc__.split("\n")[0])
+    p.add_argument("db")
+    p.add_argument("--matrix", default="Blosum50")
+    p.add_argument("--matrix-file", default=None)
+    p.add_argument("--block-size", type=int, default=1024)
+    p.add_argument("--backend", default="auto")
+    args = p.parse_args(argv)
+    srv = Server(args.db, matrix_name=args.matrix,
+                 matrix_file=args.matrix_file, block_size=args.block_size,
+                 backend=args.backend)
+    return srv.run()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""Serving daemon: JSON-lines protocol over a resident database."""
+import io
+import json
+
+import numpy as np
+import pytest
+
+from opal_tpu.constants import MODE_NW, MODE_SW, SEARCH_SCORE
+from opal_tpu.engine.search import Engine, search_database_arrays
+from opal_tpu.fasta import read_fasta_file
+from opal_tpu.matrices import ScoreMatrix
+from opal_tpu.ranking import rank_scores
+from opal_tpu.serve import Server
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    sm = ScoreMatrix.blosum50()
+    alpha = sm.alphabet
+    rng = np.random.default_rng(71)
+    dbf = tmp_path_factory.mktemp("srv") / "db.fa"
+    dbf.write_text("".join(
+        f">t{i}\n" + "".join(alpha[j] for j in rng.integers(0, 20, size=int(rng.integers(20, 120))))
+        + "\n" for i in range(30)
+    ))
+    return Server(str(dbf), block_size=16, backend="xla"), sm, rng
+
+
+def _roundtrip(srv, requests):
+    fin = io.StringIO("".join(json.dumps(r) + "\n" for r in requests))
+    fout = io.StringIO()
+    srv.run(fin, fout)
+    lines = fout.getvalue().splitlines()
+    header = json.loads(lines[0])
+    assert header["ready"] and header["n_db"] == 30
+    return [json.loads(l) for l in lines[1:]]
+
+
+def test_serve_single_batch_align_and_errors(server):
+    srv, sm, rng = server
+    alpha = sm.alphabet
+    q1 = "".join(alpha[j] for j in rng.integers(0, 20, size=25))
+    q2 = "".join(alpha[j] for j in rng.integers(0, 20, size=40))
+    resps = _roundtrip(srv, [
+        {"id": 1, "query": q1, "top_k": 5},
+        {"id": 2, "queries": [q1, q2], "top_k": 3},
+        {"id": 3, "query": q1, "mode": "NW", "top_k": 4},
+        {"id": 4, "query": q1, "top_k": 2, "align": True},
+        {"id": 5, "query": ""},
+        {"id": 6, "nonsense": True},
+    ])
+    by_id = {r["id"]: r for r in resps}
+
+    # ground truth via the engine directly
+    eng = Engine(backend="xla", block_size=16)
+    lut = sm.letter_index()
+    enc = lambda s: lut[np.frombuffer(s.encode(), np.uint8)].astype(np.uint8)
+    out = search_database_arrays(enc(q1), srv.db, 3, 1, sm.matrix,
+                                 mode=MODE_SW, search_type=SEARCH_SCORE,
+                                 engine=eng)
+    order = rank_scores(out["score"], 5)
+    want = [[int(i), int(out["score"][i])] for i in order]
+    assert by_id[1]["hits"] == want
+
+    # batch: first element matches the single-query answer (top 3)
+    assert by_id[2]["hits"][0] == want[:3]
+    assert len(by_id[2]["hits"]) == 2
+
+    # NW mode runs and returns 4 hits
+    assert len(by_id[3]["hits"]) == 4
+
+    # align: top-2 hits carry locations + CIGARs consistent with scores
+    hits = by_id[4]["hits"]
+    assert len(hits) == 2
+    assert hits[0][:2] == want[0]
+    for h in hits:
+        assert h[6] is None or isinstance(h[6], str)
+
+    # errors are structured, not fatal (empty query, malformed request);
+    # note stray symbols like "@" are NOT errors: the reference's letter
+    # LUT absorbs unknowns into the "*" catch-all column
+    assert "error" in by_id[5]
+    assert "error" in by_id[6]
