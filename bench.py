@@ -78,7 +78,7 @@ def main():
         return dt, res
 
     run()  # warm-up (compile)
-    times = [run()[0] for _ in range(3)]
+    times = [run()[0] for _ in range(5)]
     best = min(times)
     gcups = total_residues * len(query) / best / 1e9
 

@@ -19,7 +19,6 @@ import numpy as np
 
 from .constants import (
     MODE_CODES,
-    MODE_SW,
     OVERFLOW_BUCKETS,
     SEARCH_ALIGNMENT,
     SEARCH_SCORE,
@@ -38,11 +37,7 @@ from .result import SearchResult
 def _run_queries(queries, db, args, score_matrix, mode, engine):
     """Search the DB chunk with every query; returns per-query result lists.
     SW score-only multi-query batches take the stacked-kernel fast path."""
-    if (
-        len(queries) > 1
-        and mode == MODE_SW
-        and args.search_type == SEARCH_SCORE
-    ):
+    if len(queries) > 1 and args.search_type == SEARCH_SCORE:
         outs = search_database_multi_arrays(
             queries, db, args.gap_open, args.gap_ext, score_matrix.matrix,
             mode=mode, search_type=SEARCH_SCORE, engine=engine,

@@ -42,6 +42,7 @@ class DeviceDatabase:
         self.mesh = mesh
         self.blocks: list[Block] = plan_blocks(db, block_size)
         self.total_residues = int(sum(len(s) for s in db))
+        self.max_len = max((len(s) for s in db), default=0)
         self._flat = None    # lazy ragged chunk stream (pallas fast path)
         self._groups = None  # lazy [G, T, B] bucket stacks (XLA / sharded)
         self._t_quantum = t_quantum

@@ -105,8 +105,9 @@ class PallasBackend:
         meta, letters, lengths = ddb.flat()
         return ("ragged", fn(meta, qp_dev, letters, lengths))
 
-    def supports_multi(self, queries, gap_open, gap_ext, B, A, matrix):
-        """Can these queries run as one stacked SW score-only launch?"""
+    def supports_multi(self, queries, gap_open, gap_ext, B, A, matrix,
+                       max_target_len=0):
+        """Can these queries run as one stacked score-only launch?"""
         matrix = np.asarray(matrix)
         if not self.supports(
             max(len(q) for q in queries), gap_open, gap_ext, B, A,
@@ -118,43 +119,57 @@ class PallasBackend:
         q_total = sum(pk._round_up(max(len(q), 16), 16) for q in queries)
         if q_total > pk.max_q_pad(B, 3):
             return False
-        # segmented-scan exactness bound on DP magnitudes
-        worst = max(len(q) for q in queries) * max(int(matrix.max()), 1)
-        return worst < pk.MULTI_VALUE_BOUND
+        # segmented-scan exactness: the DP value *spread* must stay below
+        # SEG_M; positive side <= Qmax*matmax, negative side (NW/HW gap
+        # walls) >= -(go + (Qmax + Tmax)*ge)
+        qmax = max(len(q) for q in queries)
+        spread = (
+            qmax * max(int(matrix.max()), 1)
+            + gap_open + (qmax + int(max_target_len)) * gap_ext
+        )
+        return spread < pk.MULTI_VALUE_BOUND
 
-    def dispatch_multi(self, qprofiles, ddb, gap_open, gap_ext):
-        """Stacked multi-query SW score-only dispatch (ragged stream).
+    def dispatch_multi(self, qprofiles, ddb, gap_open, gap_ext,
+                       mode=None):
+        """Stacked multi-query score-only dispatch (ragged stream).
         Returns a handle for collect_multi; caller has checked
         supports_multi and that ddb.mesh is None."""
-        import jax
         import jax.numpy as jnp
 
+        from ..constants import MODE_SW as _SW
+
+        mode = _SW if mode is None else mode
         qp_np, seg_qpads, seg_qs = pk.prepare_qp_multi(
             qprofiles, int(gap_ext))
         if not ddb.blocks:
-            return (None, seg_qs)
-        fn = pk.build_pallas_multi_sw_fn_raw(
-            seg_qpads, int(gap_open), int(gap_ext), B=ddb.block_size,
+            return (None, seg_qs, mode)
+        seg_key = tuple(zip(seg_qs, seg_qpads))
+        fn = pk.build_pallas_multi_fn_raw(
+            mode, seg_key, int(gap_open), int(gap_ext), B=ddb.block_size,
             interpret=self.interpret,
         )
         meta, letters, lengths = ddb.flat()
-        nb_token = jnp.zeros((lengths.shape[0],), jnp.int8)
-        out = fn(meta, jnp.asarray(qp_np, jnp.bfloat16), letters, nb_token)
-        return (out, seg_qs)
+        out = fn(meta, jnp.asarray(qp_np, jnp.bfloat16), letters, lengths)
+        return (out, seg_qs, mode)
 
     def collect_multi(self, handle, ddb):
         """Returns per-query lists of (Block, scores[n]) pairs."""
         import jax
 
-        payload, seg_qs = handle
+        from ..constants import MODE_OV as _OV
+
+        payload, seg_qs, mode = handle
         n_q = len(seg_qs)
         if payload is None:
             return [[] for _ in range(n_q)]
-        tr = jax.device_get(payload)  # [NB, n_seg, B]
+        tr = jax.device_get(payload)  # [NB, n_rows, B]
         result = [[] for _ in range(n_q)]
         for bi, blk in enumerate(ddb.blocks):
             for s in range(n_q):
-                result[s].append((blk, tr[bi, s, : blk.n]))
+                scores = tr[bi, s, : blk.n]
+                if mode == _OV:
+                    scores = np.maximum(scores, tr[bi, n_q + s, : blk.n])
+                result[s].append((blk, scores))
         return result
 
     def gather(self, handle):

@@ -550,27 +550,38 @@ def build_pallas_ragged_fn(*args, **kw):
     return jax.jit(build_pallas_ragged_fn_raw(*args, **kw))
 
 
-def _kernel_multi_sw(
-    qp_ref, letters_ref, out_ref, h_ref, e_ref, m_ref, l32_ref,
-    *, seg_qpads, Q_pad, TC, B, go, ge, is_first, is_last,
+def _kernel_multi(
+    qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, m_ref, l32_ref,
+    tr_ref, *, mode, seg_qs, seg_qpads, Q_pad, TC, B, go, ge,
+    is_first, is_last, chunk_t0,
 ):
-    """SW score-only with N queries stacked along the row axis.
+    """Score-only search with N queries stacked along the row axis
+    (any mode).
 
     Each query is an independent DP segment. Segment isolation comes from
     the ramp itself: segment s is ramped by local_r*Ge + s*SEG_M, so any
     cross-segment candidate in the max-plus F scan arrives SEG_M lower and
-    is dominated (exact while |DP values| < SEG_M - Q_pad*Ge). Segment-start
-    rows take their virtual-row(-1) boundary from an explicit select, not
-    from the neighbouring segment. One pass therefore scores all queries
-    against the whole lane block — per-column fixed costs and launch
-    overheads amortize across queries (measured on v5e: +5-40% over
-    sequential launches, largest for short queries whose solo launches
-    underfill the column)."""
+    is dominated (exact while the DP value spread stays below SEG_M — the
+    dispatcher gates on that bound). Segment-start rows take their
+    virtual-row(-1) boundary from an explicit select, not from the
+    neighbouring segment. One pass therefore scores all queries against the
+    whole lane block — per-column fixed costs and launch overheads amortize
+    across queries (measured on v5e: +5-40% over sequential launches,
+    largest for short queries whose solo launches underfill the column).
+
+    Per-segment trackers: SW keeps a shared running elementwise max (m);
+    NW snapshots each segment's last real row at lane end; HW keeps each
+    segment's running last-row max; OV keeps both the last-row trackers and
+    a shared end-column snapshot (m), reduced per segment at emit.
+    Out rows: n_seg (SW/NW/HW) or 2*n_seg (OV: last-row max, then colmax).
+    """
     i32, f32 = jnp.int32, jnp.float32
+    sw = mode == MODE_SW
     n_seg = len(seg_qpads)
     starts = [0]
     for q in seg_qpads[:-1]:
         starts.append(starts[-1] + q)
+    end_rows = [starts[s] + int(seg_qs[s]) - 1 for s in range(n_seg)]
     row_ids = jax.lax.broadcasted_iota(i32, (Q_pad, B), 0)
     lane_a = jax.lax.broadcasted_iota(i32, (A_PAD, B), 0)
     # hoisted segment constants (loop-invariant; Mosaic hoists)
@@ -583,28 +594,46 @@ def _kernel_multi_sw(
         seg_idf = seg_idf + (row_ids >= at).astype(f32)
         start_vec = jnp.where(row_ids >= at, float(at), start_vec)
     ramp2 = (row_ids.astype(f32) - start_vec) * ge + seg_idf * SEG_M
+    lengths = None if sw else lengths_ref[0]  # [1, B]
 
     @pl.when(is_first())
     def _init():
-        h_ref[:] = ramp2
-        e_ref[:] = ramp2
-        m_ref[:] = ramp2
+        if mode in (MODE_NW, MODE_HW):
+            h_ref[:] = seg_idf * SEG_M - go     # H = -go - lr*Ge, ramped
+        else:
+            h_ref[:] = ramp2                    # H = 0, ramped
+        e_ref[:] = ramp2 if sw else jnp.full((Q_pad, B), NEG, f32)
+        if sw:
+            m_ref[:] = ramp2                    # running max of H~
+        elif mode == MODE_OV:
+            m_ref[:] = jnp.full((Q_pad, B), NEG, f32)  # H~ at lane end
+        if not sw:
+            tr_ref[:] = jnp.full((TR_ROWS, B), NEG, f32)
 
     l32_ref[:] = letters_ref[0].astype(i32)
 
     def column(tt, _):
+        t = chunk_t0() + tt
         letters_t = l32_ref[pl.ds(tt, 1), :]
         onehot = (lane_a == letters_t).astype(jnp.bfloat16)
         Pp = jnp.dot(qp_ref[:], onehot, preferred_element_type=f32)  # P + Ge
         Ht = h_ref[:]
         Et = e_ref[:]
         Enew = jnp.maximum(Ht - go, Et - ge)
+        if mode == MODE_NW:
+            uH0 = (-go - t * ge).astype(f32)
+            ul0 = jnp.where(t == 0, 0.0, uH0 + ge).astype(f32)
+            c0 = jnp.maximum(uH0 - go, float(NEG - ge)).astype(f32)
+        else:
+            ul0 = jnp.asarray(0.0, f32)
+            c0 = jnp.asarray(-go, f32)
         diag = pltpu.roll(Ht, 1, axis=0) + Pp
-        diag = jnp.where(seg0, Pp + (ramp2 - ge), diag)  # H[-1]=0 boundary
+        diag = jnp.where(seg0, Pp + (ramp2 - ge) + ul0, diag)
         Hp = jnp.maximum(Enew, diag)
-        Hp = jnp.maximum(Hp, ramp2)                      # SW clamp, ramped
+        if sw:
+            Hp = jnp.maximum(Hp, ramp2)          # SW clamp, ramped
         X = pltpu.roll(Hp, 1, axis=0) + (ge - go)
-        X = jnp.where(seg0, ramp2 - go, X)               # c0 = -go boundary
+        X = jnp.where(seg0, ramp2 + c0, X)
         k = 1
         while k < Q_pad:
             X = jnp.maximum(
@@ -614,56 +643,97 @@ def _kernel_multi_sw(
         Hnew = jnp.maximum(Hp, X)
         h_ref[:] = Hnew
         e_ref[:] = Enew
-        m_ref[:] = jnp.maximum(m_ref[:], Hnew)
+        if sw:
+            m_ref[:] = jnp.maximum(m_ref[:], Hnew)
+        else:
+            valid = t < lengths          # [1, B]
+            is_end = t == lengths - 1    # [1, B]
+            tr = tr_ref[:]
+            if mode == MODE_OV:
+                m_ref[:] = jnp.where(is_end, Hnew, m_ref[:])
+            for s in range(n_seg):
+                er = end_rows[s]
+                lastrow = Hnew[er : er + 1, :]
+                if mode == MODE_NW:
+                    tr_ref[pl.ds(s, 1), :] = jnp.where(
+                        is_end, lastrow, tr[s : s + 1]
+                    )
+                else:  # HW, OV: running last-row max
+                    tr_ref[pl.ds(s, 1), :] = jnp.where(
+                        valid & (lastrow > tr[s : s + 1]), lastrow,
+                        tr[s : s + 1],
+                    )
         return 0
 
     jax.lax.fori_loop(0, TC, column, 0)
 
     @pl.when(is_last())
     def _emit():
-        mu = m_ref[:] - ramp2
+        if sw:
+            mu = m_ref[:] - ramp2
         for s in range(n_seg):
             lo = int(starts[s])
-            hi = lo + int(seg_qpads[s])
-            seg_mask = (row_ids >= lo) & (row_ids < hi)
-            out_ref[0, s : s + 1, :] = jnp.max(
-                jnp.where(seg_mask, mu, NEG), axis=0, keepdims=True
-            ).astype(i32)
+            off = float((int(seg_qs[s]) - 1) * ge + s * SEG_M)
+            if sw:
+                hi = lo + int(seg_qpads[s])
+                seg_mask = (row_ids >= lo) & (row_ids < hi)
+                out_ref[0, s : s + 1, :] = jnp.max(
+                    jnp.where(seg_mask, mu, NEG), axis=0, keepdims=True
+                ).astype(i32)
+            else:
+                out_ref[0, s : s + 1, :] = (
+                    tr_ref[s : s + 1] - off
+                ).astype(i32)
+                if mode == MODE_OV:
+                    hi = lo + int(seg_qs[s])  # real rows only for colmax
+                    seg_mask = (row_ids >= lo) & (row_ids < hi)
+                    out_ref[0, n_seg + s : n_seg + s + 1, :] = jnp.max(
+                        jnp.where(seg_mask, m_ref[:] - ramp2, NEG),
+                        axis=0, keepdims=True,
+                    ).astype(i32)
 
 
 @functools.lru_cache(maxsize=None)
-def build_pallas_multi_sw_fn_raw(
-    seg_qpads: tuple,
+def build_pallas_multi_fn_raw(
+    mode: int,
+    seg_key: tuple,  # tuple of (q_real, q_pad) per segment
     go: int,
     ge: int,
     B: int = LANE_BLOCK,
     interpret: bool = False,
 ):
-    """Ragged-stream multi-query SW score-only scorer (see _kernel_multi_sw).
+    """Ragged-stream multi-query score-only scorer (see _kernel_multi).
 
     fn(meta[4, C] i32, qp[Q_pad, A_PAD] bf16, letters[C, TC, B] i8,
-    nb_token[NB]) -> scores [NB, n_seg, B] (nb_token only conveys NB).
-    seg_qpads: 16-quantized padded per-query row counts (cache key)."""
+    lengths[NB, 1, B] i32) -> scores [NB, n_rows, B] where n_rows = n_seg
+    (SW/NW/HW) or 2*n_seg (OV). seg_key carries (real, 16-quantized) query
+    lengths per segment (the compile cache key)."""
     if ge > go:
         raise ValueError("pallas path requires gap_ext <= gap_open")
-    if len(seg_qpads) > MULTI_MAX_SEGS:
-        raise ValueError(f"too many stacked queries ({len(seg_qpads)})")
+    if len(seg_key) > MULTI_MAX_SEGS:
+        raise ValueError(f"too many stacked queries ({len(seg_key)})")
+    seg_qs = tuple(k[0] for k in seg_key)
+    seg_qpads = tuple(k[1] for k in seg_key)
     Q_pad = int(sum(seg_qpads))
     if Q_pad > max_q_pad(B, 3):
         raise ValueError("stacked queries too long for lane width")
     n_seg = len(seg_qpads)
+    n_rows = 2 * n_seg if mode == MODE_OV else n_seg
 
-    # The number of output blocks is data-dependent (per database), so the
-    # pallas_call is assembled per (C, NB) shape; jit retraces per shape.
-    def make(C: int, NB: int):
+    def fn(meta, qp, letters, lengths):
+        C = letters.shape[0]
+        assert meta.shape == (4, C), meta.shape
+        NB = lengths.shape[0]
+
         def kernel_wrapper(meta_ref, *refs):
             c = pl.program_id(0)
             functools.partial(
-                _kernel_multi_sw,
-                seg_qpads=seg_qpads, Q_pad=Q_pad, TC=T_CHUNK, B=B,
-                go=go, ge=ge,
+                _kernel_multi,
+                mode=mode, seg_qs=seg_qs, seg_qpads=seg_qpads,
+                Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
                 is_first=lambda: meta_ref[1, c] == 1,
                 is_last=lambda: meta_ref[2, c] == 1,
+                chunk_t0=lambda: meta_ref[3, c],
             )(*refs)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -672,28 +742,27 @@ def build_pallas_multi_sw_fn_raw(
             in_specs=[
                 pl.BlockSpec((Q_pad, A_PAD), lambda c, m: (0, 0)),
                 pl.BlockSpec((1, T_CHUNK, B), lambda c, m: (c, 0, 0)),
+                pl.BlockSpec((1, 1, B), lambda c, m: (m[0, c], 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, n_seg, B), lambda c, m: (m[0, c], 0, 0)),
+            out_specs=pl.BlockSpec((1, n_rows, B),
+                                   lambda c, m: (m[0, c], 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((Q_pad, B), jnp.float32),
                 pltpu.VMEM((Q_pad, B), jnp.float32),
                 pltpu.VMEM((Q_pad, B), jnp.float32),
                 pltpu.VMEM((T_CHUNK, B), jnp.int32),
+                pltpu.VMEM((TR_ROWS, B), jnp.float32),
             ],
         )
         return pl.pallas_call(
             kernel_wrapper,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((NB, n_seg, B), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((NB, n_rows, B), jnp.int32),
             compiler_params=_compiler_params(interpret),
             interpret=interpret,
-        )
+        )(meta, qp, letters, lengths)
 
-    @jax.jit
-    def jitted(meta, qp, letters, nb_token):
-        return make(letters.shape[0], nb_token.shape[0])(meta, qp, letters)
-
-    return jitted
+    return jax.jit(fn)
 
 
 def prepare_qp_multi(qprofiles, ge: int):

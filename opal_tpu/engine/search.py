@@ -233,8 +233,7 @@ def search_database_multi_arrays(
 
     out: list = [None] * len(queries)
     stackable = (
-        mode == MODE_SW
-        and search_type == SEARCH_SCORE
+        search_type == SEARCH_SCORE
         and engine.config.precision != "adaptive"
         and ddb.mesh is None
         and getattr(backend, "supports_multi", None) is not None
@@ -250,6 +249,7 @@ def search_database_multi_arrays(
                 and backend.supports_multi(
                     queries[i : j + 1], gap_open, gap_ext,
                     ddb.block_size, A, matrix_np,
+                    max_target_len=ddb.max_len,
                 )
             ):
                 group = queries[i : j + 1]
@@ -259,7 +259,8 @@ def search_database_multi_arrays(
                 np.ascontiguousarray(matrix_np[q.astype(np.int64)].T)
                 for q in group
             ]
-            handle = backend.dispatch_multi(qprofiles, ddb, gap_open, gap_ext)
+            handle = backend.dispatch_multi(qprofiles, ddb, gap_open,
+                                            gap_ext, mode=mode)
             per_query = backend.collect_multi(handle, ddb)
             for s in range(len(group)):
                 arr = np.empty(ddb.n, dtype=np.int32)

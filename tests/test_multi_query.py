@@ -8,7 +8,7 @@ import io
 import numpy as np
 import pytest
 
-from opal_tpu.constants import MODE_NW, MODE_SW, SEARCH_SCORE
+from opal_tpu.constants import MODE_HW, MODE_NW, MODE_OV, MODE_SW, SEARCH_SCORE
 from opal_tpu.engine.pallas_backend import PallasBackend
 from opal_tpu.engine.search import (
     Engine,
@@ -42,15 +42,16 @@ def _interpret_engine(block_size=64):
     return eng
 
 
-def test_stacked_kernel_matches_oracle_interpret():
-    queries, db, matrix = _random_setup(11)
+@pytest.mark.parametrize("mode", [MODE_SW, MODE_NW, MODE_HW, MODE_OV])
+def test_stacked_kernel_matches_oracle_interpret(mode):
+    queries, db, matrix = _random_setup(11 + mode)
     eng = _interpret_engine()
     outs = search_database_multi_arrays(
-        queries, db, 4, 2, matrix, engine=eng
+        queries, db, 4, 2, matrix, mode=mode, engine=eng
     )
     assert len(outs) == len(queries)
     for q, out in zip(queries, outs):
-        want = search_oracle(q, db, 4, 2, matrix, MODE_SW, SEARCH_SCORE)
+        want = search_oracle(q, db, 4, 2, matrix, mode, SEARCH_SCORE)
         np.testing.assert_array_equal(
             out["score"], np.array([r.score for r in want])
         )
