@@ -29,17 +29,24 @@ _V = 1
 
 
 def search_key(queries, mode, search_type, gap_open, gap_ext, matrix,
-               db_path: str) -> str:
-    """Digest of all result-determining inputs."""
+               db_path: str, chunk_residues=None, align_top_k=0) -> str:
+    """Digest of all result-determining inputs — including the chunking
+    budget (it sets the journal's chunk boundaries) and align_top_k (it
+    sets which records carry alignment paths), and the DB file's
+    size+mtime (a same-size content rewrite must invalidate the journal)."""
     h = hashlib.sha256()
-    h.update(f"v{_V}|{mode}|{search_type}|{gap_open}|{gap_ext}|".encode())
+    h.update(
+        f"v{_V}|{mode}|{search_type}|{gap_open}|{gap_ext}"
+        f"|{chunk_residues}|{align_top_k}|".encode()
+    )
     for q in queries:
         h.update(np.asarray(q, np.uint8).tobytes())
         h.update(b"|")
     h.update(np.ascontiguousarray(matrix, np.int64).tobytes())
     try:
         st = os.stat(db_path)
-        h.update(f"|{os.path.abspath(db_path)}|{st.st_size}".encode())
+        h.update(f"|{os.path.abspath(db_path)}|{st.st_size}"
+                 f"|{st.st_mtime_ns}".encode())
     except OSError:
         h.update(db_path.encode())
     return h.hexdigest()
@@ -76,7 +83,7 @@ class Checkpoint:
         self.key = key
         self._done: dict[int, list] = {}
         if os.path.exists(path) and os.path.getsize(path):
-            with open(path) as f:
+            with open(path, "r+") as f:
                 header = json.loads(f.readline())
                 if header.get("key") != key:
                     raise ValueError(
@@ -84,15 +91,21 @@ class Checkpoint:
                         "(query/db/flags changed); remove it or pass a "
                         "different file"
                     )
-                for line in f:
-                    line = line.strip()
+                valid_end = f.tell()
+                while True:
+                    line = f.readline()
                     if not line:
-                        continue
+                        break
+                    if not line.endswith("\n") or not line.strip():
+                        break  # torn tail write from an interrupted run
                     try:
                         rec = json.loads(line)
                     except json.JSONDecodeError:
-                        break  # torn tail write from an interrupted run
+                        break
                     self._done[int(rec["chunk"])] = rec["q"]
+                    valid_end = f.tell()
+                # drop any torn tail so later appends stay parseable
+                f.truncate(valid_end)
         else:
             with open(path, "w") as f:
                 f.write(json.dumps({"v": _V, "key": key}) + "\n")

@@ -154,7 +154,9 @@ def main(argv=None) -> int:
             ckpt = Checkpoint(
                 args.checkpoint,
                 search_key(queries, mode, args.search_type, args.gap_open,
-                           args.gap_ext, score_matrix.matrix, args.db),
+                           args.gap_ext, score_matrix.matrix, args.db,
+                           chunk_residues=args.chunk_residues,
+                           align_top_k=args.align_top),
             )
         except ValueError as exc:
             print(f"opal_tpu: error: {exc}", file=sys.stderr)
@@ -166,6 +168,7 @@ def main(argv=None) -> int:
 
     cpu_time = 0.0
     db_total_residues = 0
+    computed_residues = 0  # residues actually searched (not journal-restored)
     db_total_len = 0
     chunk_idx = 0
     whole_db_read = False
@@ -200,6 +203,7 @@ def main(argv=None) -> int:
                     queries, db, args, score_matrix, mode, engine
                 )
                 cpu_time += time.perf_counter() - start
+                computed_residues += n_res
                 if profiler is not None:
                     profiler.stop_trace()
                 if ckpt is not None:
@@ -229,8 +233,10 @@ def main(argv=None) -> int:
 
     print(f"\nCpu time of searching: {cpu_time:.2f}")
     if args.search_type != SEARCH_ALIGNMENT:
+        # GCUPS counts only freshly computed chunks (journal-restored
+        # chunks cost no search time and must not inflate throughput)
         q_res = sum(len(q) for q in queries)
-        gcups = db_total_residues / 1e9 * q_res / cpu_time if cpu_time else 0.0
+        gcups = computed_residues / 1e9 * q_res / cpu_time if cpu_time else 0.0
         print(f"GCUPS (giga cell updates per second): {gcups:.2f}")
     return 0
 

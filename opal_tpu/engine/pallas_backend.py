@@ -29,14 +29,18 @@ class PallasBackend:
         self._mega_cache: dict = {}
 
     def supports(self, Q: int, gap_open: int, gap_ext: int,
-                 B: int = 1024, A: int = 0, profile_absmax: int = 0) -> bool:
+                 B: int = 1024, A: int = 0, profile_absmax: int = 0,
+                 arrays: int = 2) -> bool:
+        """arrays: VMEM state arrays of the config (n_state_arrays);
+        callers that don't know the mode yet pass the least-demanding 2 —
+        dispatch re-checks with the real value."""
         return (
             gap_ext <= gap_open
             and A <= pk.PAD_LETTER
             # the query profile feeds the MXU in bf16: integers are exact
             # only up to 2^8, so large score-matrix entries take the XLA path
             and profile_absmax + gap_ext <= 256
-            and pk._round_up(max(Q, 16), 16) <= pk.max_q_pad(B)
+            and pk._round_up(max(Q, 16), 16) <= pk.max_q_pad(B, arrays)
         )
 
     def prepare_query(self, qprofile, gap_open, gap_ext):
@@ -86,8 +90,10 @@ class PallasBackend:
         if not ddb.blocks:
             return ("ragged", None)
         B = ddb.block_size
-        if not self.supports(Q, gap_open, gap_ext, B,
-                             A=qprofile_np.shape[0]):
+        if not self.supports(
+            Q, gap_open, gap_ext, B, A=qprofile_np.shape[0],
+            arrays=pk.n_state_arrays(mode, search_type, with_flags),
+        ):
             xq = self._fallback.prepare_query(qprofile_np, gap_open, gap_ext)
             return ("xla", self._fallback.dispatch_many(
                 xq, ddb, gap_open, gap_ext, mode, search_type, with_flags))

@@ -58,17 +58,18 @@ def render_alignment(query, target, res: SearchResult, alphabet: str) -> str:
 
 
 def ops_to_cigar(ops) -> str:
-    """Compact CIGAR-style string for an ALIGN_* op array: runs of
-    '=' (match), 'X' (mismatch), 'D' (query residue over a gap),
-    'I' (target residue over a gap) — e.g. "12=1X3D40=".
-    (The reference exposes raw op arrays only; this is the serving-side
-    convenience encoding.)"""
+    """SAM-convention CIGAR string for an ALIGN_* op array, treating the
+    query as the read: '=' match, 'X' mismatch, 'I' consumes a query
+    residue (ALIGN_DEL in the reference's op vocabulary), 'D' consumes a
+    target residue (ALIGN_INS) — e.g. "12=1X3I40=". Standard SAM parsers
+    can walk query/target coordinates with it directly. (The reference
+    exposes raw op arrays only; this is the serving-side encoding.)"""
     import numpy as np
 
     from .constants import ALIGN_DEL, ALIGN_INS, ALIGN_MATCH, ALIGN_MISMATCH
 
     sym = {ALIGN_MATCH: "=", ALIGN_MISMATCH: "X",
-           ALIGN_DEL: "D", ALIGN_INS: "I"}
+           ALIGN_DEL: "I", ALIGN_INS: "D"}
     ops = np.asarray(ops)
     if ops.size == 0:
         return ""

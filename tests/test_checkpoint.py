@@ -63,3 +63,25 @@ def test_checkpoint_key_mismatch_refused(files, capsys):
     err = capsys.readouterr().err
     assert rc == 1
     assert "different search" in err
+
+
+def test_checkpoint_chunking_mismatch_refused(files, capsys):
+    qf, dbf, ck = files
+    _run(qf, dbf, ck, capsys)
+    # different chunk budget => different chunk boundaries => refuse
+    rc = cli.main(["--backend", "xla", "--chunk-residues", "333", "-x", "2",
+                   "--checkpoint", ck, qf, dbf])
+    assert rc == 1
+    assert "different search" in capsys.readouterr().err
+
+
+def test_checkpoint_gcups_counts_only_computed(files, capsys):
+    qf, dbf, ck = files
+    args = ["--backend", "xla", "--chunk-residues", "200", "-x", "0",
+            "--checkpoint", ck + ".g", qf, dbf]
+    cli.main(args)
+    capsys.readouterr()
+    cli.main(args)  # fully restored run: no search happened
+    out = capsys.readouterr().out
+    gcups = [l for l in out.splitlines() if l.startswith("GCUPS")]
+    assert gcups and gcups[0].endswith("0.00")

@@ -81,3 +81,19 @@ def test_serve_single_batch_align_and_errors(server):
     # LUT absorbs unknowns into the "*" catch-all column
     assert "error" in by_id[5]
     assert "error" in by_id[6]
+
+
+def test_ops_to_cigar_sam_convention():
+    from opal_tpu.constants import (
+        ALIGN_DEL,
+        ALIGN_INS,
+        ALIGN_MATCH,
+        ALIGN_MISMATCH,
+    )
+    from opal_tpu.render import ops_to_cigar
+
+    ops = np.array([ALIGN_MATCH, ALIGN_MATCH, ALIGN_MISMATCH,
+                    ALIGN_DEL, ALIGN_INS, ALIGN_INS], np.uint8)
+    # SAM: I consumes the query (ALIGN_DEL), D consumes the target
+    assert ops_to_cigar(ops) == "2=1X1I2D"
+    assert ops_to_cigar(np.zeros(0, np.uint8)) == ""
