@@ -125,6 +125,8 @@ class PallasBackend:
         q_total = sum(pk._round_up(max(len(q), 16), 16) for q in queries)
         if q_total > pk.max_q_pad(B, 3):
             return False
+        if len(queries) > 1 and q_total * B > pk.MULTI_AREA_BUDGET:
+            return False  # stacked pass would be VMEM-pressure-bound
         # segmented-scan exactness: the DP value *spread* must stay below
         # SEG_M; positive side <= Qmax*matmax, negative side (NW/HW gap
         # walls) >= -(go + (Qmax + Tmax)*ge)

@@ -88,6 +88,11 @@ VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic scoped-VMEM ceiling (v5e has 128M)
 SEG_M = float(2**19)
 MULTI_MAX_SEGS = 8
 MULTI_VALUE_BOUND = 2**18
+# Stacked column area (rows x lanes) beyond which VMEM pressure makes the
+# stacked pass slower than sequential launches (measured on v5e: 896x2048
+# regresses, 896x1024 and 448x2048 win); the dispatcher packs query groups
+# within this budget.
+MULTI_AREA_BUDGET = 1 << 20
 
 
 def _compiler_params(interpret: bool):
