@@ -12,7 +12,8 @@ Request fields:
   mode        "SW" | "NW" | "HW" | "OV"      (default SW)
   gap_open / gap_ext                          (default 3 / 1)
   top_k       number of hits to return        (default 10; 0 = all)
-  align       true => reconstruct the top_k alignment paths (CIGARs)
+  align       true => reconstruct the top_k alignment paths (SAM CIGARs)
+  names       true => append the DB FASTA header to each hit
 
 Response: {"id": ..., "hits": [[db_index, score], ...]} ranked by
 (score desc, index asc); with align: hits are
@@ -48,9 +49,13 @@ class Server:
         self.sm = (ScoreMatrix.from_file(matrix_file) if matrix_file
                    else ScoreMatrix.from_name(matrix_name))
         self.lut = self.sm.letter_index()
-        self.db, _ = read_fasta_file(db_path, self.lut)
+        self.db, self.names, _ = read_fasta_file(
+            db_path, self.lut, return_names=True
+        )
         self.engine = Engine(backend=backend, block_size=block_size)
         self.ddb = self.engine.upload(self.db)
+        self._cache: dict = {}         # request-identity -> response dict
+        self._cache_order: list = []   # small LRU (identical re-queries)
 
     def _encode_query(self, s: str) -> np.ndarray:
         if not s:
@@ -62,10 +67,27 @@ class Server:
         return idx.astype(np.uint8)
 
     def handle(self, req: dict) -> dict:
+        # identical re-queries are served from a small LRU (the resident-DB
+        # deployment sees many repeated lookups)
+        ckey = json.dumps(
+            {k: v for k, v in req.items() if k != "id"}, sort_keys=True
+        )
+        cached = self._cache.get(ckey)
+        if cached is not None:
+            return cached
+        resp = self._handle(req)
+        self._cache[ckey] = resp
+        self._cache_order.append(ckey)
+        if len(self._cache_order) > 256:
+            self._cache.pop(self._cache_order.pop(0), None)
+        return resp
+
+    def _handle(self, req: dict) -> dict:
         queries = req.get("queries")
         single = queries is None
         if single:
             queries = [req["query"]]
+        with_names = bool(req.get("names", False))
         qs = [self._encode_query(q) for q in queries]
         mode = MODE_CODES[req.get("mode", "SW")]
         go = int(req.get("gap_open", 3))
@@ -91,6 +113,7 @@ class Server:
                      int(res[i].end_location_target),
                      ops_to_cigar(res[i].alignment)
                      if res[i].alignment is not None else None]
+                    + ([self.names[int(i)]] if with_names else [])
                     for i in order
                 ])
         else:
@@ -101,9 +124,11 @@ class Server:
             answers = []
             for out in outs:
                 order = rank_scores(out["score"], top_k)
-                answers.append(
-                    [[int(i), int(out["score"][i])] for i in order]
-                )
+                answers.append([
+                    [int(i), int(out["score"][i])]
+                    + ([self.names[int(i)]] if with_names else [])
+                    for i in order
+                ])
         return {"hits": answers[0]} if single else {"hits": answers}
 
     def run(self, fin=None, fout=None) -> int:

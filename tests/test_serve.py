@@ -97,3 +97,20 @@ def test_ops_to_cigar_sam_convention():
     # SAM: I consumes the query (ALIGN_DEL), D consumes the target
     assert ops_to_cigar(ops) == "2=1X1I2D"
     assert ops_to_cigar(np.zeros(0, np.uint8)) == ""
+
+
+def test_serve_names_and_cache(server):
+    srv, sm, rng = server
+    alpha = sm.alphabet
+    q = "".join(alpha[j] for j in rng.integers(0, 20, size=22))
+    r1, r2, r3 = _roundtrip(srv, [
+        {"id": 1, "query": q, "top_k": 2, "names": True},
+        {"id": 2, "query": q, "top_k": 2, "names": True},  # cache hit
+        {"id": 3, "query": q, "top_k": 2},
+    ])
+    assert r1["hits"] == r2["hits"]
+    for h in r1["hits"]:
+        assert h[2].startswith("t")       # FASTA header appended
+    for h in r3["hits"]:
+        assert len(h) == 2                # no names unless requested
+    assert len(srv._cache) >= 2
