@@ -19,8 +19,6 @@ import base64
 import hashlib
 import json
 import os
-from typing import Optional
-
 import numpy as np
 
 from .result import SearchResult

@@ -15,8 +15,6 @@ import argparse
 import sys
 import time
 
-import numpy as np
-
 from .constants import (
     MODE_CODES,
     OVERFLOW_BUCKETS,

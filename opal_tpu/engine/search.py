@@ -35,7 +35,6 @@ from ..constants import (
 )
 from ..result import SearchResult
 from ..traceback import AlignmentError, align_pair_reverse_trick
-from .batching import plan_blocks
 
 
 @dataclasses.dataclass

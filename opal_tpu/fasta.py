@@ -15,7 +15,7 @@ the reference CLI's reader (reference: src/opal_aligner.cpp:240-301):
 """
 from __future__ import annotations
 
-from typing import BinaryIO, Optional
+from typing import BinaryIO
 
 import numpy as np
 

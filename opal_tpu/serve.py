@@ -30,7 +30,7 @@ import sys
 
 import numpy as np
 
-from .constants import MODE_CODES, MODE_SW, SEARCH_ALIGNMENT, SEARCH_SCORE
+from .constants import MODE_CODES, SEARCH_ALIGNMENT, SEARCH_SCORE
 from .engine.search import (
     Engine,
     search_database,
