@@ -129,11 +129,12 @@ class DeviceDatabase:
                 assert t_pad % T_CHUNK == 0, t_pad
                 nch = t_pad // T_CHUNK
                 parts.append(blk.letters.reshape(nch, T_CHUNK, -1))
-                m = np.zeros((nch, 4), np.int32)
+                m = np.zeros((nch, 5), np.int32)
                 m[:, 0] = bi
                 m[0, 1] = 1
                 m[-1, 2] = 1
                 m[:, 3] = np.arange(nch, dtype=np.int32) * T_CHUNK
+                m[:, 4] = 1  # active
                 metas.append(m)
                 lengths[bi, 0] = blk.lengths
             c_real = sum(p.shape[0] for p in parts)
@@ -142,12 +143,12 @@ class DeviceDatabase:
                 parts.append(np.zeros(
                     (c_pad - c_real, T_CHUNK, self.block_size), np.int8
                 ))
-                dm = np.zeros((c_pad - c_real, 4), np.int32)
+                dm = np.zeros((c_pad - c_real, 5), np.int32)
                 dm[:, 0] = nb_pad - 1  # trash output row, never emitted
-                metas.append(dm)
+                metas.append(dm)       # active=0: kernel skips them
             letters = np.concatenate(parts, axis=0)
             meta = np.concatenate(metas, axis=0)
-            # [4, C] layout: scalar-prefetch SMEM pads the minor dim to a
+            # [5, C] layout: scalar-prefetch SMEM pads the minor dim to a
             # full lane stripe, so the minor dim must be the long one.
             meta = np.ascontiguousarray(meta.T)
             self._flat = (

@@ -154,7 +154,7 @@ def tracker_rows(mode, search_type, with_flags):
 def _kernel(
     qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, *rest,
     mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge, out_rows,
-    is_first, is_last, chunk_t0,
+    is_first, is_last, chunk_t0, active=None,
 ):
     # One grid step advances TC DP columns of one lane-block. State resets
     # when is_first (block's first chunk) and trackers emit when is_last;
@@ -162,8 +162,41 @@ def _kernel(
     # wrapper derives these from the grid position, the ragged wrapper from
     # prefetched per-chunk metadata.
     # h_ref/e_ref hold the RAMPED DP column: H~ = H + r*Ge, E~ = E + r*Ge.
+    # active (ragged path): 0 marks inert shape-padding chunks — skip all
+    # compute (their letters are dummies and they never init or emit).
     sw = mode == MODE_SW
     lean_sw = sw and not track_end        # runmax path (score via M scratch)
+    has_m = lean_sw or mode == MODE_OV
+    if has_m:
+        m_ref, l32_ref, tr_ref = rest
+    else:
+        l32_ref, tr_ref = rest
+    if active is not None:
+        @pl.when(active())
+        def _active_body():
+            _kernel_body(
+                qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref,
+                *rest, mode=mode, track_end=track_end,
+                with_flags=with_flags, Q=Q, Q_pad=Q_pad, TC=TC, B=B,
+                go=go, ge=ge, out_rows=out_rows, is_first=is_first,
+                is_last=is_last, chunk_t0=chunk_t0,
+            )
+        return
+    _kernel_body(
+        qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, *rest,
+        mode=mode, track_end=track_end, with_flags=with_flags, Q=Q,
+        Q_pad=Q_pad, TC=TC, B=B, go=go, ge=ge, out_rows=out_rows,
+        is_first=is_first, is_last=is_last, chunk_t0=chunk_t0,
+    )
+
+
+def _kernel_body(
+    qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, *rest,
+    mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge, out_rows,
+    is_first, is_last, chunk_t0,
+):
+    sw = mode == MODE_SW
+    lean_sw = sw and not track_end
     has_m = lean_sw or mode == MODE_OV
     if has_m:
         m_ref, l32_ref, tr_ref = rest
@@ -480,10 +513,11 @@ def build_pallas_ragged_fn_raw(
     TPU answer to the reference's lane-refill conveyor keeping SIMD lanes
     busy across unequal sequence lengths (src/opal.cpp:472-490).
 
-    fn(meta[4, C] i32, qp[Q_pad, A_PAD] bf16, letters[C, TC, B] i8,
+    fn(meta[5, C] i32, qp[Q_pad, A_PAD] bf16, letters[C, TC, B] i8,
        lengths[NB, 1, B] i32) -> trackers [NB, n_rows, B] i32.
-    meta rows: (block index, is-first-chunk, is-last-chunk, t0 columns);
-    [4, C] so the SMEM lane-stripe padding lands on the long dim.
+    meta rows: (block index, is-first-chunk, is-last-chunk, t0 columns,
+    active); row-major [5, C] so the SMEM lane-stripe padding lands on the
+    long dim; active=0 marks inert shape-padding chunks (skipped entirely).
     """
     if ge > go:
         raise ValueError("pallas path requires gap_ext <= gap_open")
@@ -499,7 +533,7 @@ def build_pallas_ragged_fn_raw(
 
     def fn(meta, qp, letters, lengths):
         C = letters.shape[0]
-        assert meta.shape == (4, C), meta.shape
+        assert meta.shape == (5, C), meta.shape
         NB = lengths.shape[0]
         def kernel_wrapper(meta_ref, *refs):
             c = pl.program_id(0)
@@ -511,6 +545,7 @@ def build_pallas_ragged_fn_raw(
                 is_first=lambda: meta_ref[1, c] == 1,
                 is_last=lambda: meta_ref[2, c] == 1,
                 chunk_t0=lambda: meta_ref[3, c],
+                active=lambda: meta_ref[4, c] == 1,
             )(*refs)
 
         scratch = [
@@ -709,7 +744,7 @@ def build_pallas_multi_fn_raw(
 ):
     """Ragged-stream multi-query score-only scorer (see _kernel_multi).
 
-    fn(meta[4, C] i32, qp[Q_pad, A_PAD] bf16, letters[C, TC, B] i8,
+    fn(meta[5, C] i32, qp[Q_pad, A_PAD] bf16, letters[C, TC, B] i8,
     lengths[NB, 1, B] i32) -> scores [NB, n_rows, B] where n_rows = n_seg
     (SW/NW/HW) or 2*n_seg (OV). seg_key carries (real, 16-quantized) query
     lengths per segment (the compile cache key)."""
@@ -727,19 +762,22 @@ def build_pallas_multi_fn_raw(
 
     def fn(meta, qp, letters, lengths):
         C = letters.shape[0]
-        assert meta.shape == (4, C), meta.shape
+        assert meta.shape == (5, C), meta.shape
         NB = lengths.shape[0]
 
         def kernel_wrapper(meta_ref, *refs):
             c = pl.program_id(0)
-            functools.partial(
-                _kernel_multi,
-                mode=mode, seg_qs=seg_qs, seg_qpads=seg_qpads,
-                Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
-                is_first=lambda: meta_ref[1, c] == 1,
-                is_last=lambda: meta_ref[2, c] == 1,
-                chunk_t0=lambda: meta_ref[3, c],
-            )(*refs)
+
+            @pl.when(meta_ref[4, c] == 1)  # skip inert padding chunks
+            def _active():
+                functools.partial(
+                    _kernel_multi,
+                    mode=mode, seg_qs=seg_qs, seg_qpads=seg_qpads,
+                    Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
+                    is_first=lambda: meta_ref[1, c] == 1,
+                    is_last=lambda: meta_ref[2, c] == 1,
+                    chunk_t0=lambda: meta_ref[3, c],
+                )(*refs)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
