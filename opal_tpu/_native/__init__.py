@@ -91,7 +91,26 @@ def fasta_parser():
     return lib.opal_fasta_parse if lib is not None else None
 
 
-_work = {"size": 0, "H": None, "E": None, "F": None}
+import threading as _threading
+
+
+class _WorkBuffers(_threading.local):
+    """Per-thread DP work buffers: ctypes releases the GIL during the C
+    call, so the alignment pass can run one traceback per thread."""
+
+    def __init__(self):
+        self.size = 0
+        self.H = self.E = self.F = None
+
+    # dict-style access kept for tests/introspection
+    def __getitem__(self, k):
+        return getattr(self, k)
+
+    def __setitem__(self, k, v):
+        setattr(self, k, v)
+
+
+_work = _WorkBuffers()
 
 
 def find_alignment_native(query, target, go, ge, matrix, score_limit, mode,

@@ -26,7 +26,7 @@ from .engine.search import (
     search_database,
     search_database_multi_arrays,
 )
-from .fasta import read_fasta_sequences
+from .fasta import open_fasta, read_fasta_sequences
 from .matrices import ScoreMatrix
 from .render import render_alignment, result_line
 from .result import SearchResult
@@ -132,7 +132,7 @@ def main(argv=None) -> int:
     print(f"Using {args.mode} alignment mode.")
 
     print("Reading query fasta file...")
-    with open(args.query, "rb") as f:
+    with open_fasta(args.query) as f:
         qseqs, _ = read_fasta_sequences(f, lut)
     queries = qseqs if args.all_queries else qseqs[:1]
     query = queries[0]
@@ -170,7 +170,7 @@ def main(argv=None) -> int:
     db_total_len = 0
     chunk_idx = 0
     whole_db_read = False
-    with open(args.db, "rb") as dbf:
+    with open_fasta(args.db) as dbf:
         while not whole_db_read:
             print("\nReading database fasta file...")
             db, whole_db_read = read_fasta_sequences(dbf, lut, **read_kw)

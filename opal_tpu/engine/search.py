@@ -404,6 +404,19 @@ def search_database(
                 [r.score if r.score_set else -(2**62) for r in results]
             )
             align_set = set(rank_scores(scores, align_top_k).tolist())
+
+        def _align_one(i):
+            r = results[i]
+            try:
+                return i, align_pair_reverse_trick(
+                    query, db_list[i], gap_open, gap_ext, matrix,
+                    r.score, r.end_location_query, r.end_location_target,
+                    mode,
+                ), None
+            except AlignmentError as exc:
+                return i, None, exc
+
+        todo_align = []
         for i in range(n):
             r = results[i]
             if align_set is not None and i not in align_set:
@@ -415,41 +428,50 @@ def search_database(
                 r.start_location_query = r.start_location_target = -1
                 r.end_location_query = r.end_location_target = -1
             else:
-                try:
-                    sq, st, ops = align_pair_reverse_trick(
-                        query,
-                        db_list[i],
-                        gap_open,
-                        gap_ext,
-                        matrix,
-                        r.score,
-                        r.end_location_query,
-                        r.end_location_target,
-                        mode,
-                    )
-                except AlignmentError as exc:
-                    # Degenerate optimum not representable as an anchored
-                    # path (e.g. a pure-deletion HW/OV alignment consuming
-                    # zero target letters). The reference aborts on its
-                    # reverse-pass assert here (src/opal.cpp:1497); we keep
-                    # the exact score/end and omit the path.
-                    import warnings
+                todo_align.append(i)
 
-                    warnings.warn(
-                        f"sequence {i}: alignment path not reconstructible "
-                        f"({exc}); score/end locations remain exact",
-                        RuntimeWarning,
-                        stacklevel=2,
-                    )
-                    r.alignment = None
-                    r.alignment_length = 0
-                    r.start_location_query = -1
-                    r.start_location_target = -1
-                    continue
-                r.start_location_query = sq
-                r.start_location_target = st
-                r.alignment = ops
-                r.alignment_length = len(ops)
+        # The per-pair traceback is host work; the native C path releases
+        # the GIL, so a thread pool scales it across host cores
+        # (OPAL_TPU_TRACEBACK_WORKERS overrides; 0/1 = serial).
+        import os as _os
+
+        workers = _os.environ.get("OPAL_TPU_TRACEBACK_WORKERS")
+        workers = (int(workers) if workers
+                   else min(_os.cpu_count() or 1, 16))
+        if workers > 1 and len(todo_align) >= 32:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                outcomes = list(pool.map(_align_one, todo_align))
+        else:
+            outcomes = [_align_one(i) for i in todo_align]
+
+        for i, out, exc in outcomes:
+            r = results[i]
+            if exc is not None:
+                # Degenerate optimum not representable as an anchored path
+                # (e.g. a pure-deletion HW/OV alignment consuming zero
+                # target letters). The reference aborts on its reverse-pass
+                # assert here (src/opal.cpp:1497); we keep the exact
+                # score/end and omit the path.
+                import warnings
+
+                warnings.warn(
+                    f"sequence {i}: alignment path not reconstructible "
+                    f"({exc}); score/end locations remain exact",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                r.alignment = None
+                r.alignment_length = 0
+                r.start_location_query = -1
+                r.start_location_target = -1
+                continue
+            sq, st, ops = out
+            r.start_location_query = sq
+            r.start_location_target = st
+            r.alignment = ops
+            r.alignment_length = len(ops)
     else:
         # reference: src/opal.cpp:1508-1515
         for r in results:

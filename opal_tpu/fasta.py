@@ -90,8 +90,22 @@ def read_fasta_sequences(
     return seqs, eof
 
 
+def open_fasta(path: str):
+    """Open a FASTA file for binary reading, transparently decompressing
+    gzip (sniffed by magic bytes, so any extension works). Real-world
+    sequence databases ship gzipped; the reference reader does not
+    support this."""
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        import gzip
+
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
 def read_fasta_file(path: str, letter_idx: np.ndarray, return_names: bool = False):
-    """Read an entire FASTA file (no residue budget).
+    """Read an entire FASTA file (no residue budget); gzip transparent.
 
     Uses the native C tokenizer (opal_tpu/_native) when available — the
     TPU-native equivalent of the reference's C++ reader — and falls back to
@@ -100,7 +114,7 @@ def read_fasta_file(path: str, letter_idx: np.ndarray, return_names: bool = Fals
         try:
             from ._native import parse_fasta_buffer
 
-            with open(path, "rb") as f:
+            with open_fasta(path) as f:
                 buf = f.read()
             seqs = parse_fasta_buffer(buf, letter_idx)
             if seqs is not None:
@@ -109,7 +123,7 @@ def read_fasta_file(path: str, letter_idx: np.ndarray, return_names: bool = Fals
             raise
         except Exception:
             pass
-    with open(path, "rb") as f:
+    with open_fasta(path) as f:
         return read_fasta_sequences(
             f, letter_idx, max_residues=2**62, return_names=return_names
         )

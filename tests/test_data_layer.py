@@ -121,3 +121,53 @@ def test_plan_blocks_covers_everything():
                 b.letters[: len(db[i]), lane], db[i]
             )
             assert (b.letters[len(db[i]):, lane] == PAD_LETTER).all()
+
+
+def test_gzip_fasta_transparent(tmp_path):
+    import gzip
+
+    from opal_tpu.fasta import open_fasta, read_fasta_file
+    from opal_tpu.matrices import ScoreMatrix
+
+    sm = ScoreMatrix.blosum50()
+    lut = sm.letter_index()
+    text = ">a\nACDEF\nGHIK\n>b\nLMNPQ\n"
+    plain = tmp_path / "x.fa"
+    plain.write_text(text)
+    gz = tmp_path / "x.fa.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(text.encode())
+    s1, _ = read_fasta_file(str(plain), lut)
+    s2, _ = read_fasta_file(str(gz), lut)
+    assert len(s1) == len(s2) == 2
+    for a, b in zip(s1, s2):
+        np.testing.assert_array_equal(a, b)
+    with open_fasta(str(gz)) as f:
+        assert f.read(1) == b">"
+
+
+def test_traceback_workers_identical(monkeypatch):
+    from opal_tpu.constants import MODE_SW, SEARCH_ALIGNMENT
+    from opal_tpu.engine.search import Engine, search_database
+
+    rng = np.random.default_rng(31)
+    A = 20
+    matrix = rng.integers(-4, 6, size=(A, A), dtype=np.int32)
+    np.fill_diagonal(matrix, 5)
+    q = rng.integers(0, A, size=40, dtype=np.uint8)
+    db = [rng.integers(0, A, size=int(rng.integers(20, 120)), dtype=np.uint8)
+          for _ in range(80)]
+    eng = Engine(backend="xla", block_size=16)
+    monkeypatch.setenv("OPAL_TPU_TRACEBACK_WORKERS", "1")
+    serial = search_database(q, db, 3, 1, matrix, mode=MODE_SW,
+                             search_type=SEARCH_ALIGNMENT, engine=eng)
+    monkeypatch.setenv("OPAL_TPU_TRACEBACK_WORKERS", "4")
+    threaded = search_database(q, db, 3, 1, matrix, mode=MODE_SW,
+                               search_type=SEARCH_ALIGNMENT, engine=eng)
+    for a, b in zip(serial, threaded):
+        assert a.score == b.score
+        assert a.start_location_query == b.start_location_query
+        if a.alignment is None:
+            assert b.alignment is None
+        else:
+            np.testing.assert_array_equal(a.alignment, b.alignment)
