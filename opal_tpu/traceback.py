@@ -260,6 +260,34 @@ def find_alignment(
     return score, end_q, end_t, np.asarray(ops[::-1], dtype=np.uint8)
 
 
+def _replay(query, target, start_q, start_t, ops, go, ge, matrix):
+    """Affine-gap score and end coordinates of an op path replayed from
+    (start_q, start_t); (None, ...) if the path walks out of the matrix."""
+    qi, ti = start_q, start_t
+    score = 0
+    prev = -1
+    m = matrix
+    for op in ops:
+        if op in (ALIGN_MATCH, ALIGN_MISMATCH):
+            if qi >= len(query) or ti >= len(target):
+                return None, qi, ti
+            score += int(m[query[qi], target[ti]])
+            qi += 1
+            ti += 1
+        elif op == ALIGN_DEL:
+            if qi >= len(query):
+                return None, qi, ti
+            score -= int(go) if prev != ALIGN_DEL else int(ge)
+            qi += 1
+        else:  # ALIGN_INS
+            if ti >= len(target):
+                return None, qi, ti
+            score -= int(go) if prev != ALIGN_INS else int(ge)
+            ti += 1
+        prev = int(op)
+    return score, qi - 1, ti - 1
+
+
 def align_pair_reverse_trick(
     query, target, gap_open, gap_ext, matrix, score, end_q, end_t, mode
 ):
@@ -269,28 +297,45 @@ def align_pair_reverse_trick(
     score_limit = known score; the end found on the reversed pair is the
     start on the forward pair.
 
+    Every reconstructed path is replay-validated (score and end coords)
+    before being returned. This catches a flaw the reference shares but
+    never detects (its assert checks only the score, src/opal.cpp:1497):
+    with a narrow band, the HW/OV "last row" early-stop tracks the
+    band-edge cell, and when the band excludes the true last row the
+    backtrace anchors on an out-of-band cell and emits an invalid path.
+    An invalid banded path triggers a full-band retry (whose last-row
+    semantics are exact); a still-invalid path raises.
+
     Returns (start_q, start_t, ops) with ops in forward order.
     """
     aq = np.asarray(query[: end_q + 1], dtype=np.uint8)[::-1]
     at = np.asarray(target[: end_t + 1], dtype=np.uint8)[::-1]
-    try:
+
+    def _attempt(full_band):
         rscore, rend_q, rend_t, rops = find_alignment(
-            aq, at, gap_open, gap_ext, matrix, score, mode
+            aq, at, gap_open, gap_ext, matrix, score, mode,
+            full_band=full_band,
         )
         if rscore != score:
             raise AlignmentError(
                 f"reverse-pass score {rscore} != known score {score}"
             )
-    except AlignmentError:
-        # Degenerate configs can make the closed-form band too narrow (the
-        # reference crashes on these); recompute with the full band.
-        rscore, rend_q, rend_t, rops = find_alignment(
-            aq, at, gap_open, gap_ext, matrix, score, mode, full_band=True
+        sq = len(aq) - rend_q - 1
+        st = len(at) - rend_t - 1
+        ops = rops[::-1].copy()
+        got, req, ret = _replay(
+            query, target, sq, st, ops, gap_open, gap_ext, matrix
         )
-        if rscore != score:
+        if got != score or (req, ret) != (end_q, end_t):
             raise AlignmentError(
-                f"full-band reverse-pass score {rscore} != known score {score}"
+                f"path replay ({got}, end ({req},{ret})) != known "
+                f"({score}, end ({end_q},{end_t}))"
             )
-    start_q = len(aq) - rend_q - 1
-    start_t = len(at) - rend_t - 1
-    return start_q, start_t, rops[::-1].copy()
+        return sq, st, ops
+
+    try:
+        return _attempt(full_band=False)
+    except AlignmentError:
+        # Narrow-band failure modes (see docstring) or degenerate configs
+        # where the closed-form band is too tight (the reference crashes).
+        return _attempt(full_band=True)

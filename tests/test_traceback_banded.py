@@ -165,3 +165,33 @@ def test_align_top_k_matches_full_run():
         else:
             assert t.alignment is None
             assert t.start_location_query == -1
+
+
+def test_hw_narrow_band_last_row_anchor_regression():
+    """Regression (x2 soak, seed 563430931): with a narrow band, the HW
+    early-stop tracked the band-edge cell as the "last row"; when the band
+    excluded row Q-1 the backtrace anchored out-of-band and emitted a
+    garbage path with a correct score (the reference shares the flaw —
+    its assert checks only the score). Replay validation must reject the
+    banded path and the full-band retry must produce a valid one."""
+    from opal_tpu.constants import MODE_HW, SEARCH_ALIGNMENT
+
+    rng = np.random.default_rng(563430931)
+    A = int(rng.integers(2, 26))
+    matrix = rng.integers(-6, 8, size=(A, A), dtype=np.int32)
+    go = int(rng.integers(1, 14))
+    ge = int(rng.integers(1, go + 1))
+    Q = int(rng.integers(2, 120))
+    query = rng.integers(0, A, size=Q, dtype=np.uint8)
+    db = [rng.integers(0, A, size=int(rng.integers(2, 250)), dtype=np.uint8)
+          for _ in range(int(rng.integers(3, 40)))]
+    from opal_tpu.engine.search import Engine, search_database
+
+    eng = Engine(backend="xla", block_size=64)
+    res = search_database(query, db, go, ge, matrix, mode=MODE_HW,
+                          search_type=SEARCH_ALIGNMENT, engine=eng)
+    want = search_oracle(query, db, go, ge, matrix, MODE_HW, 1)
+    for i, (r, w) in enumerate(zip(res, want)):
+        assert r.score == w.score, i
+        if r.alignment is not None:
+            check_alignment(query, db[i], r, go, ge, matrix, MODE_HW)
