@@ -85,3 +85,21 @@ def test_checkpoint_gcups_counts_only_computed(files, capsys):
     out = capsys.readouterr().out
     gcups = [l for l in out.splitlines() if l.startswith("GCUPS")]
     assert gcups and gcups[0].endswith("0.00")
+
+
+def test_checkpoint_random_truncation_fuzz(files, capsys):
+    """Any byte-truncation of the journal must resume to identical output."""
+    import random
+
+    qf, dbf, ck = files
+    first = _run(qf, dbf, ck, capsys)
+    full = open(ck, "rb").read()
+    header_len = full.index(b"\n") + 1
+    rnd = random.Random(7)
+    for _ in range(6):
+        cut = rnd.randrange(header_len, len(full))
+        with open(ck, "wb") as f:
+            f.write(full[:cut])
+        out = _run(qf, dbf, ck, capsys)
+        assert out == first, cut
+        full = open(ck, "rb").read()  # journal repaired/extended
