@@ -79,6 +79,13 @@ def main():
 
     run()  # warm-up (compile)
     times = [run()[0] for _ in range(5)]
+    # the shared/tunneled chip has minute-scale slow windows (measured
+    # +-25%); if the spread says we are in one, give the fast window a
+    # few more chances before recording
+    if max(times) / min(times) > 1.3:
+        for _ in range(3):
+            time.sleep(10)
+            times.extend(run()[0] for _ in range(2))
     best = min(times)
     gcups = total_residues * len(query) / best / 1e9
 
