@@ -103,3 +103,32 @@ def test_checkpoint_random_truncation_fuzz(files, capsys):
         out = _run(qf, dbf, ck, capsys)
         assert out == first, cut
         full = open(ck, "rb").read()  # journal repaired/extended
+
+
+def test_checkpoint_with_all_queries(tmp_path, capsys):
+    sm = ScoreMatrix.blosum50()
+    alpha = sm.alphabet
+    rng = np.random.default_rng(91)
+    qf = tmp_path / "qs.fa"
+    qf.write_text("".join(
+        f">q{i}\n" + "".join(alpha[j] for j in rng.integers(0, 20, size=25))
+        + "\n" for i in range(3)
+    ))
+    dbf = tmp_path / "db2.fa"
+    dbf.write_text("".join(
+        f">t{i}\n" + "".join(alpha[j] for j in rng.integers(0, 20, size=40))
+        + "\n" for i in range(10)
+    ))
+    ck = str(tmp_path / "mq.jsonl")
+    args = ["--backend", "xla", "--chunk-residues", "150", "-x", "0",
+            "--all-queries", "--checkpoint", ck, str(qf), str(dbf)]
+    rc = cli.main(args)
+    first = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith(("#", "Query"))]
+    assert rc == 0 and first.count("Query #0: 25 residues") >= 2  # per chunk
+    rc = cli.main(args)
+    out = capsys.readouterr().out
+    second = [l for l in out.splitlines() if l.startswith(("#", "Query"))]
+    assert rc == 0
+    assert second == first
+    assert "restored from checkpoint" in out
