@@ -102,9 +102,12 @@ def _compiler_params(interpret: bool):
 
 
 def n_state_arrays(mode: int, search_type: int, with_flags: bool) -> int:
-    """[Q_pad, B] f32 VMEM scratch arrays a config needs (H, E, + extras)."""
+    """[Q_pad, B] f32 VMEM scratch arrays a config needs (H, E, + extras):
+    lean SW keeps a running-max column; OV with end tracking keeps the
+    end-column snapshot (score-only OV snapshots a [1,B] colmax instead)."""
     lean_sw = mode == MODE_SW and search_type == SEARCH_SCORE
-    return 3 if (lean_sw or mode == MODE_OV) else 2
+    ov_end = mode == MODE_OV and search_type != SEARCH_SCORE
+    return 3 if (lean_sw or ov_end) else 2
 
 
 def max_q_pad(B: int, arrays: int = 3) -> int:
@@ -164,13 +167,6 @@ def _kernel(
     # h_ref/e_ref hold the RAMPED DP column: H~ = H + r*Ge, E~ = E + r*Ge.
     # active (ragged path): 0 marks inert shape-padding chunks — skip all
     # compute (their letters are dummies and they never init or emit).
-    sw = mode == MODE_SW
-    lean_sw = sw and not track_end        # runmax path (score via M scratch)
-    has_m = lean_sw or mode == MODE_OV
-    if has_m:
-        m_ref, l32_ref, tr_ref = rest
-    else:
-        l32_ref, tr_ref = rest
     if active is not None:
         @pl.when(active())
         def _active_body():
@@ -197,10 +193,11 @@ def _kernel_body(
 ):
     sw = mode == MODE_SW
     lean_sw = sw and not track_end
-    has_m = lean_sw or mode == MODE_OV
+    has_m = lean_sw or (mode == MODE_OV and track_end)
     if has_m:
         m_ref, l32_ref, tr_ref = rest
     else:
+        m_ref = None
         l32_ref, tr_ref = rest
     i32 = jnp.int32
     f32 = jnp.float32
@@ -222,7 +219,7 @@ def _kernel_body(
         e_ref[:] = ramp if sw else jnp.full((Q_pad, B), NEG, f32)
         if lean_sw:
             m_ref[:] = ramp                       # running max of H~, init H~
-        elif mode == MODE_OV:
+        elif has_m:  # OV with end tracking
             m_ref[:] = jnp.full((Q_pad, B), NEG, f32)   # H~ at sequence end
         tr_rows = jax.lax.broadcasted_iota(i32, (TR_ROWS, B), 0)
         zero_rows = (
@@ -320,15 +317,25 @@ def _kernel_body(
                     is_end, lastrow, tr[TR_NW : TR_NW + 1]
                 )
             if mode == MODE_OV:
-                # snapshot the whole ramped H column at sequence end; the
-                # last-column max/argmax are reduced once at emit. PLRM is
-                # the last-row max BEFORE this column's update
-                # (reference: prevMaxLastRowH, src/opal.cpp:746,886-903).
-                m_ref[:] = jnp.where(is_end, Hnew, m_ref[:])
                 if track_end:
+                    # snapshot the whole ramped H column at sequence end;
+                    # the last-column max/argmax are reduced once at emit.
+                    # PLRM is the last-row max BEFORE this column's update
+                    # (reference: prevMaxLastRowH, src/opal.cpp:746,886-903)
+                    m_ref[:] = jnp.where(is_end, Hnew, m_ref[:])
                     tr_ref[pl.ds(TR_OV_PLRM, 1), :] = jnp.where(
                         is_end, tr[TR_BEST : TR_BEST + 1],
                         tr[TR_OV_PLRM : TR_OV_PLRM + 1],
+                    )
+                else:
+                    # score-only: snapshot just the column max (pad rows
+                    # are algebraically dominated, see module docstring)
+                    colmax_u = jnp.max(
+                        jnp.where(row_valid, Hnew - ramp, NEG),
+                        axis=0, keepdims=True,
+                    )
+                    tr_ref[pl.ds(TR_OV_CMAX, 1), :] = jnp.where(
+                        is_end, colmax_u, tr[TR_OV_CMAX : TR_OV_CMAX + 1]
                     )
             if mode in (MODE_HW, MODE_OV):
                 lr_improved = valid & (lastrow > tr[TR_BEST : TR_BEST + 1])
@@ -390,17 +397,17 @@ def _kernel_body(
                 tr_ref[pl.ds(TR_OV_PLRM, 1), :] = (
                     tr_ref[TR_OV_PLRM : TR_OV_PLRM + 1] - lr_off
                 )
-            Hu = m_ref[:] - ramp
-            Hmask = jnp.where(row_valid, Hu, NEG)
-            colmax = jnp.max(Hmask, axis=0, keepdims=True)
-            tr_ref[pl.ds(TR_OV_CMAX, 1), :] = colmax
-            if track_end:
+                Hu = m_ref[:] - ramp
+                Hmask = jnp.where(row_valid, Hu, NEG)
+                colmax = jnp.max(Hmask, axis=0, keepdims=True)
+                tr_ref[pl.ds(TR_OV_CMAX, 1), :] = colmax
                 cand = jnp.where(
                     row_valid & (Hu == colmax), row_f, float(Q_pad)
                 )
                 tr_ref[pl.ds(TR_OV_ROW, 1), :] = jnp.min(
                     cand, axis=0, keepdims=True
                 )
+            # score-only: TR_OV_CMAX snapshotted per column already
         for j, row in enumerate(out_rows):
             out_ref[0, j : j + 1, :] = tr_ref[row : row + 1, :].astype(i32)
 
@@ -432,7 +439,8 @@ def build_pallas_score_fn_raw(
             f"use a smaller Engine block_size"
         )
     out_rows = tracker_rows(mode, search_type, with_flags)
-    has_m = (mode == MODE_SW and not track_end) or mode == MODE_OV
+    has_m = (mode == MODE_SW and not track_end) or (
+        mode == MODE_OV and track_end)
 
     def fn(qp, letters, lengths):
         """letters: [G, T, B] int8 (G lane-blocks sharing padded length T,
@@ -529,7 +537,8 @@ def build_pallas_ragged_fn_raw(
             f"query too long for pallas path at lane width {B} ({Q})"
         )
     out_rows = tracker_rows(mode, search_type, with_flags)
-    has_m = (mode == MODE_SW and not track_end) or mode == MODE_OV
+    has_m = (mode == MODE_SW and not track_end) or (
+        mode == MODE_OV and track_end)
 
     def fn(meta, qp, letters, lengths):
         C = letters.shape[0]
