@@ -237,6 +237,16 @@ def _kernel_body(
     # row-index an int8 memref); the loop indexes the i32 scratch.
     l32_ref[:] = letters_ref[0].astype(i32)
 
+    # OV's sequence-end snapshots touch full [Q_pad, B] state, but lanes are
+    # length-sorted: almost all chunks contain no sequence end. One scalar
+    # flag per chunk (any lane ends inside this chunk's TC columns) selects
+    # between two specialized column loops, so end-free chunks run a loop
+    # with zero snapshot code (same per-column cost as HW).
+    chunk_has_end = None
+    if mode == MODE_OV:
+        end_in_chunk = (lengths > chunk_t0) & (lengths <= chunk_t0 + TC)
+        chunk_has_end = jnp.any(end_in_chunk)
+
     def compute_profile(tt):
         """P'[r, lane] = matrix[query[r], letter[lane]] + Ge via one-hot MXU
         matmul — exact (integer-valued bf16 inputs, f32 accumulate). The +Ge
@@ -247,7 +257,7 @@ def _kernel_body(
             qp_ref[:], onehot, preferred_element_type=jnp.float32
         )  # [Q_pad, B] f32
 
-    def column(tt, _):
+    def column(tt, _, snap=True):
         t = chunk_t0 + tt
         Pp = compute_profile(tt)  # P + Ge
 
@@ -316,7 +326,7 @@ def _kernel_body(
                 tr_ref[pl.ds(TR_NW, 1), :] = jnp.where(
                     is_end, lastrow, tr[TR_NW : TR_NW + 1]
                 )
-            if mode == MODE_OV:
+            if mode == MODE_OV and snap:
                 if track_end:
                     # snapshot the whole ramped H column at sequence end;
                     # the last-column max/argmax are reduced once at emit.
@@ -377,7 +387,16 @@ def _kernel_body(
                 )
         return 0
 
-    jax.lax.fori_loop(0, TC, column, 0)
+    if chunk_has_end is None:
+        jax.lax.fori_loop(0, TC, column, 0)
+    else:
+        @pl.when(chunk_has_end)
+        def _loop_snap():
+            jax.lax.fori_loop(0, TC, lambda tt, c: column(tt, c, True), 0)
+
+        @pl.when(jnp.logical_not(chunk_has_end))
+        def _loop_lean():
+            jax.lax.fori_loop(0, TC, lambda tt, c: column(tt, c, False), 0)
 
     @pl.when(is_last())
     def _emit():
@@ -661,7 +680,13 @@ def _kernel_multi(
 
     l32_ref[:] = letters_ref[0].astype(i32)
 
-    def column(tt, _):
+    chunk_has_end = None
+    if mode == MODE_OV:
+        t0 = chunk_t0()
+        end_in_chunk = (lengths > t0) & (lengths <= t0 + TC)
+        chunk_has_end = jnp.any(end_in_chunk)
+
+    def column(tt, _, snap=True):
         t = chunk_t0() + tt
         letters_t = l32_ref[pl.ds(tt, 1), :]
         onehot = (lane_a == letters_t).astype(jnp.bfloat16)
@@ -698,7 +723,7 @@ def _kernel_multi(
             valid = t < lengths          # [1, B]
             is_end = t == lengths - 1    # [1, B]
             tr = tr_ref[:]
-            if mode == MODE_OV:
+            if mode == MODE_OV and snap:
                 m_ref[:] = jnp.where(is_end, Hnew, m_ref[:])
             for s in range(n_seg):
                 er = end_rows[s]
@@ -714,7 +739,16 @@ def _kernel_multi(
                     )
         return 0
 
-    jax.lax.fori_loop(0, TC, column, 0)
+    if chunk_has_end is None:
+        jax.lax.fori_loop(0, TC, column, 0)
+    else:
+        @pl.when(chunk_has_end)
+        def _loop_snap():
+            jax.lax.fori_loop(0, TC, lambda tt, c: column(tt, c, True), 0)
+
+        @pl.when(jnp.logical_not(chunk_has_end))
+        def _loop_lean():
+            jax.lax.fori_loop(0, TC, lambda tt, c: column(tt, c, False), 0)
 
     @pl.when(is_last())
     def _emit():
