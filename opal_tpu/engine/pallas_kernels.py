@@ -304,13 +304,16 @@ def _kernel_body(
         elif sw:
             valid = t < lengths          # [1, B]
             Hu = Hnew - ramp
-            Hmask = jnp.where(row_valid, Hu, NEG)
-            colmax = jnp.max(Hmask, axis=0, keepdims=True)  # [1, B]
+            # No row_valid masks: pad-row H comes only from the F chain of
+            # real rows minus >= go (<= the same column's real max, strictly
+            # below it for go >= 1), so pad rows never raise colmax; a go==0
+            # tie resolves to the smaller (real) row via the min-argmax.
+            colmax = jnp.max(Hu, axis=0, keepdims=True)  # [1, B]
             improved = valid & (colmax > tr[TR_BEST : TR_BEST + 1])
             tr_ref[pl.ds(TR_BEST, 1), :] = jnp.where(
                 improved, colmax, tr[TR_BEST : TR_BEST + 1]
             )
-            cand = jnp.where(row_valid & (Hu == colmax), row_f, float(Q_pad))
+            cand = jnp.where(Hu == colmax, row_f, float(Q_pad))
             argrow = jnp.min(cand, axis=0, keepdims=True)
             tr_ref[pl.ds(TR_BEST_R, 1), :] = jnp.where(
                 improved, argrow, tr[TR_BEST_R : TR_BEST_R + 1]
