@@ -43,13 +43,33 @@ class PallasBackend:
             and pk._round_up(max(Q, 16), 16) <= pk.max_q_pad(B, arrays)
         )
 
+    def preferred_block_size(self, Q, gap_open, gap_ext, A, profile_absmax,
+                             arrays, default_B):
+        """Widest lane width (<= default_B, >= 128) whose VMEM DP state fits
+        this query. Long queries thus stay on the pallas path at reduced
+        lane width (measured ~1.6x the XLA fallback at Q=6000) instead of
+        falling back; B-independent gates (ge > go, alphabet, bf16 profile
+        range) still route to XLA via supports()."""
+        if not self.supports(Q, gap_open, gap_ext, B=128, A=A,
+                             profile_absmax=profile_absmax, arrays=arrays):
+            return default_B
+        B = default_B
+        while B > 128 and not self.supports(
+                Q, gap_open, gap_ext, B=B, A=A,
+                profile_absmax=profile_absmax, arrays=arrays):
+            B //= 2
+        return max(B, 128)
+
     def prepare_query(self, qprofile, gap_open, gap_ext):
         import jax
         import jax.numpy as jnp
 
         A, Q = qprofile.shape
         absmax = int(np.abs(np.asarray(qprofile)).max()) if Q else 0
-        if not self.supports(Q, gap_open, gap_ext, A=A,
+        # Gate on the most permissive lane width here (long queries may run
+        # at a downshifted width, see preferred_block_size); dispatch_many
+        # re-checks at the actual width and still falls back when needed.
+        if not self.supports(Q, gap_open, gap_ext, B=128, A=A,
                              profile_absmax=absmax):
             return ("xla",
                     self._fallback.prepare_query(qprofile, gap_open, gap_ext))

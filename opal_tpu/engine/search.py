@@ -86,17 +86,24 @@ class Engine:
         return DeviceDatabase(db, self.config.block_size,
                               mesh=self.config.mesh)
 
-    def _get_resident(self, db) -> "DeviceDatabase":
+    def _get_resident(self, db, block_size=None) -> "DeviceDatabase":
         from .device_db import DeviceDatabase
 
+        B = block_size or self.config.block_size
         if isinstance(db, DeviceDatabase):
-            return db
+            if B >= db.block_size:
+                return db
+            # long-query lane-width downshift: re-block the resident DB
+            db = db.raw
         key = id(db)
         cached = self._resident_cache.get(key)
         if cached is None or cached[0] != len(db):
-            cached = (len(db), self.upload(db))
+            cached = (len(db), {})
             self._resident_cache = {key: cached}  # keep one DB resident
-        return cached[1]
+        per_b = cached[1]
+        if B not in per_b:
+            per_b[B] = DeviceDatabase(db, B, mesh=self.config.mesh)
+        return per_b[B]
 
     def score_blocks(
         self,
@@ -125,6 +132,22 @@ class Engine:
         Q = qprofile.shape[1]
         qprep = backend.prepare_query(qprofile, int(gap_open), int(gap_ext))
 
+        # Long queries overflow the VMEM DP-state budget at the default
+        # lane width; rather than falling back to XLA, narrow the lane
+        # width (pallas stays ~1.6x faster at Q=6000). Mesh-sharded DBs
+        # keep their width (sharding layout is width-dependent).
+        B_eff = self.config.block_size
+        pick = getattr(backend, "preferred_block_size", None)
+        if pick is not None and self.config.mesh is None:
+            from .pallas_kernels import n_state_arrays
+
+            absmax = int(np.abs(qprofile).max()) if Q else 0
+            B_eff = pick(
+                Q, int(gap_open), int(gap_ext), qprofile.shape[0], absmax,
+                n_state_arrays(mode, search_type, with_flags),
+                self.config.block_size,
+            )
+
         from .device_db import DeviceDatabase
 
         if isinstance(db, DeviceDatabase):
@@ -132,14 +155,14 @@ class Engine:
         else:
             db_list = db
         if subset is None or len(subset) == len(db_list):
-            ddb = self._get_resident(db)
+            ddb = self._get_resident(db, block_size=B_eff)
             index_map = None
         else:
             # partial rescoring (cascade reruns / skip): ad-hoc upload
             index_map = np.fromiter(subset, dtype=np.int64)
             ddb = DeviceDatabase(
                 [db_list[i] for i in index_map],
-                self.config.block_size,
+                min(B_eff, self.config.block_size),
                 mesh=self.config.mesh,
             )
 

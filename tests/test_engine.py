@@ -150,3 +150,32 @@ def test_readme_toy_example(engine):
         search_type=SEARCH_SCORE, engine=engine,
     )
     assert [r.score for r in got] == [14, 10, 16, 12]
+
+
+def test_long_query_lane_width_downshift(monkeypatch):
+    """Queries whose DP state overflows VMEM at the configured lane width
+    must run on the pallas path at a narrower width (not the XLA fallback),
+    with identical scores. Budget shrunk so a small query triggers it."""
+    from opal_tpu.engine import pallas_kernels as pk
+    from opal_tpu.engine.pallas_backend import PallasBackend
+
+    monkeypatch.setattr(pk, "VMEM_STATE_BUDGET", 131072)
+    backend = PallasBackend(interpret=True)
+    # Q_pad=48 state fits at B=128 (max_q_pad=80) but not 512 (16)
+    assert pk.max_q_pad(512, 3) < 48 <= pk.max_q_pad(128, 3)
+    assert backend.preferred_block_size(40, 3, 1, 4, 3, 3, 512) == 128
+
+    eng = Engine(backend="pallas", block_size=512)
+    eng._backend = backend
+    rng = np.random.default_rng(5)
+    query, db, matrix = random_problem(
+        rng, n_seqs=12, query_len=40, min_len=5, max_len=70)
+    res = search_database(query, db, 3, 1, matrix, mode=MODE_SW,
+                          search_type=SEARCH_SCORE_END, engine=eng)
+    want = search_oracle(query, db, 3, 1, matrix, MODE_SW, SEARCH_SCORE_END)
+    for i, (r, w) in enumerate(zip(res, want)):
+        assert r.score == w.score, i
+    # the resident cache must hold the re-blocked width (SW score+end
+    # needs 2 state arrays: Q_pad=48 first fits at B=256)
+    (n, per_b), = eng._resident_cache.values()
+    assert 256 in per_b and per_b[256].block_size == 256
