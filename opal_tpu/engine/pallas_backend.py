@@ -9,7 +9,8 @@ host<->device latency is high (remote/tunneled devices) and still optimal
 locally.
 
 Mesh-sharded databases use the grouped per-bucket path (GSPMD partitions
-the lane axis); configs the kernels don't cover (very long queries,
+the lane axis); configs the kernels don't cover (queries beyond the
+narrowest lane width's VMEM ceiling,
 gap_ext > gap_open, oversized alphabets) fall back to the XLA path.
 """
 from __future__ import annotations
