@@ -101,6 +101,25 @@ class PallasBackend:
             self._mega_cache[key] = fn
         return fn
 
+    def _out_i16_ok(self, Q, absmax, gap_open, gap_ext, search_type,
+                    with_flags, max_len):
+        """May trackers be emitted as int16? The device->host result
+        download is a measurable cost at whole-database scale (~30-40 MB/s
+        through the tunnel); halving the payload is worth a clip at emit.
+        Conservative magnitude bound on any emitted value: scores are
+        within Q*|P|max + 2*go + (Q + Tmax)*ge; end coordinates within
+        max(Q_pad, Tmax). Flags rows (overflow trackers) stay int32."""
+        if with_flags:
+            return False
+        bound = Q * absmax + 2 * gap_open + (Q + max_len) * gap_ext + 64
+        if bound >= 32768:
+            return False
+        from ..constants import SEARCH_SCORE as _SCORE
+
+        if search_type != _SCORE and max(Q + 16, max_len) >= 32768:
+            return False
+        return True
+
     def dispatch_many(self, qprep, ddb, gap_open, gap_ext, mode,
                       search_type, with_flags=False):
         if qprep[0] == "xla":
@@ -125,9 +144,13 @@ class PallasBackend:
             out = fn(qp_dev, [g.letters for g in ddb.groups],
                      [g.lengths for g in ddb.groups])
             return ("grouped", out)
+        absmax = int(np.abs(qprofile_np).max()) if Q else 0
+        out_i16 = self._out_i16_ok(Q, absmax, int(gap_open), int(gap_ext),
+                                   search_type, with_flags, ddb.max_len)
         fn = pk.build_pallas_ragged_fn(
             mode, search_type, Q, int(gap_open), int(gap_ext), B=B,
             with_flags=with_flags, interpret=self.interpret,
+            out_i16=out_i16,
         )
         meta, letters, lengths = ddb.flat()
         return ("ragged", fn(meta, qp_dev, letters, lengths))
@@ -185,20 +208,15 @@ class PallasBackend:
         """Returns per-query lists of (Block, scores[n]) pairs."""
         import jax
 
-        from ..constants import MODE_OV as _OV
-
         payload, seg_qs, mode = handle
         n_q = len(seg_qs)
         if payload is None:
             return [[] for _ in range(n_q)]
-        tr = jax.device_get(payload)  # [NB, n_rows, B]
+        tr = jax.device_get(payload)  # [NB, n_seg, B]
         result = [[] for _ in range(n_q)]
         for bi, blk in enumerate(ddb.blocks):
             for s in range(n_q):
-                scores = tr[bi, s, : blk.n]
-                if mode == _OV:
-                    scores = np.maximum(scores, tr[bi, n_q + s, : blk.n])
-                result[s].append((blk, scores))
+                result[s].append((blk, tr[bi, s, : blk.n]))
         return result
 
     def gather(self, handle):
@@ -224,7 +242,8 @@ class PallasBackend:
                 return result
             for bi, blk in enumerate(ddb.blocks):
                 out = pk.finalize_trackers(
-                    np.asarray(payload[bi]), mode, search_type, Q,
+                    np.asarray(payload[bi]).astype(np.int32, copy=False),
+                    mode, search_type, Q,
                     np.asarray(blk.lengths), with_flags,
                 )
                 result.append((blk, {k: v[: blk.n] for k, v in out.items()}))

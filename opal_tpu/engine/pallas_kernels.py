@@ -143,9 +143,10 @@ def tracker_rows(mode, search_type, with_flags):
         rows = [TR_NW]
     elif mode == MODE_HW:
         rows = [TR_BEST] + ([TR_BEST_C] if track_end else [])
-    else:  # OV
-        rows = [TR_BEST, TR_OV_CMAX] + (
-            [TR_BEST_C, TR_OV_PLRM, TR_OV_ROW] if track_end else [])
+    else:  # OV: score/end disambiguation happens at emit (on device), so
+        # the payload is as slim as SW's (the tunnel/PCIe result download
+        # is a measurable cost at whole-database scale)
+        rows = [TR_BEST] + ([TR_BEST_R, TR_BEST_C] if track_end else [])
     if with_flags:
         if mode == MODE_SW:
             rows.append(TR_ULHP)
@@ -157,7 +158,7 @@ def tracker_rows(mode, search_type, with_flags):
 def _kernel(
     qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, *rest,
     mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge, out_rows,
-    is_first, is_last, chunk_t0, active=None,
+    is_first, is_last, chunk_t0, active=None, out_i16=False,
 ):
     # One grid step advances TC DP columns of one lane-block. State resets
     # when is_first (block's first chunk) and trackers emit when is_last;
@@ -175,7 +176,7 @@ def _kernel(
                 *rest, mode=mode, track_end=track_end,
                 with_flags=with_flags, Q=Q, Q_pad=Q_pad, TC=TC, B=B,
                 go=go, ge=ge, out_rows=out_rows, is_first=is_first,
-                is_last=is_last, chunk_t0=chunk_t0,
+                is_last=is_last, chunk_t0=chunk_t0, out_i16=out_i16,
             )
         return
     _kernel_body(
@@ -183,13 +184,14 @@ def _kernel(
         mode=mode, track_end=track_end, with_flags=with_flags, Q=Q,
         Q_pad=Q_pad, TC=TC, B=B, go=go, ge=ge, out_rows=out_rows,
         is_first=is_first, is_last=is_last, chunk_t0=chunk_t0,
+        out_i16=out_i16,
     )
 
 
 def _kernel_body(
     qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, *rest,
     mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge, out_rows,
-    is_first, is_last, chunk_t0,
+    is_first, is_last, chunk_t0, out_i16=False,
 ):
     sw = mode == MODE_SW
     lean_sw = sw and not track_end
@@ -332,8 +334,8 @@ def _kernel_body(
             if mode == MODE_OV and snap:
                 if track_end:
                     # snapshot the whole ramped H column at sequence end;
-                    # the last-column max/argmax are reduced once at emit.
-                    # PLRM is the last-row max BEFORE this column's update
+                    # last-column max/argmax reduce once at emit. PLRM is
+                    # the last-row max BEFORE this column's update
                     # (reference: prevMaxLastRowH, src/opal.cpp:746,886-903)
                     m_ref[:] = jnp.where(is_end, Hnew, m_ref[:])
                     tr_ref[pl.ds(TR_OV_PLRM, 1), :] = jnp.where(
@@ -414,24 +416,39 @@ def _kernel_body(
         elif mode == MODE_HW:
             tr_ref[pl.ds(TR_BEST, 1), :] = tr_ref[TR_BEST : TR_BEST + 1] - lr_off
         elif mode == MODE_OV:
-            tr_ref[pl.ds(TR_BEST, 1), :] = tr_ref[TR_BEST : TR_BEST + 1] - lr_off
+            # full OV finalize on device (reference end disambiguation,
+            # src/opal.cpp:845-850,881-904): score = max(last-col max,
+            # last-row max); end in the last column iff colmax beats the
+            # pre-column last-row max (PLRM), else in the last row.
+            best = tr_ref[TR_BEST : TR_BEST + 1] - lr_off
             if track_end:
-                tr_ref[pl.ds(TR_OV_PLRM, 1), :] = (
-                    tr_ref[TR_OV_PLRM : TR_OV_PLRM + 1] - lr_off
-                )
+                plrm = tr_ref[TR_OV_PLRM : TR_OV_PLRM + 1] - lr_off
                 Hu = m_ref[:] - ramp
                 Hmask = jnp.where(row_valid, Hu, NEG)
                 colmax = jnp.max(Hmask, axis=0, keepdims=True)
-                tr_ref[pl.ds(TR_OV_CMAX, 1), :] = colmax
                 cand = jnp.where(
                     row_valid & (Hu == colmax), row_f, float(Q_pad)
                 )
-                tr_ref[pl.ds(TR_OV_ROW, 1), :] = jnp.min(
-                    cand, axis=0, keepdims=True
+                ovrow = jnp.min(cand, axis=0, keepdims=True)
+                in_last = colmax > plrm
+                tr_ref[pl.ds(TR_BEST, 1), :] = jnp.maximum(colmax, best)
+                tr_ref[pl.ds(TR_BEST_R, 1), :] = jnp.where(
+                    in_last, ovrow, float(Q - 1)
                 )
-            # score-only: TR_OV_CMAX snapshotted per column already
+                tr_ref[pl.ds(TR_BEST_C, 1), :] = jnp.where(
+                    in_last, (lengths - 1).astype(f32),
+                    tr_ref[TR_BEST_C : TR_BEST_C + 1],
+                )
+            else:
+                # score-only: TR_OV_CMAX snapshotted per column already
+                tr_ref[pl.ds(TR_BEST, 1), :] = jnp.maximum(
+                    best, tr_ref[TR_OV_CMAX : TR_OV_CMAX + 1]
+                )
         for j, row in enumerate(out_rows):
-            out_ref[0, j : j + 1, :] = tr_ref[row : row + 1, :].astype(i32)
+            v = tr_ref[row : row + 1, :]
+            if out_i16:
+                v = jnp.clip(v, -32768.0, 32767.0)
+            out_ref[0, j : j + 1, :] = v.astype(out_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -444,6 +461,7 @@ def build_pallas_score_fn_raw(
     B: int = LANE_BLOCK,
     with_flags: bool = False,
     interpret: bool = False,
+    out_i16: bool = False,
 ):
     """Unjitted fn(qp_bf16[Q_pad, A_PAD], letters[G, T, B] i8,
     lengths[G, 1, B] i32) -> selected trackers [G, n_rows, B] i32
@@ -480,7 +498,7 @@ def build_pallas_score_fn_raw(
             _kernel,
             mode=mode, track_end=track_end, with_flags=with_flags,
             Q=Q, Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
-            out_rows=out_rows,
+            out_rows=out_rows, out_i16=out_i16,
             is_first=lambda: pl.program_id(1) == 0,
             is_last=lambda: pl.program_id(1) == pl.num_programs(1) - 1,
             chunk_t0=lambda: pl.program_id(1) * T_CHUNK,
@@ -507,7 +525,10 @@ def build_pallas_score_fn_raw(
             out_specs=pl.BlockSpec((1, len(out_rows), B),
                                    lambda g, i: (g, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((G, len(out_rows), B), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct(
+                (G, len(out_rows), B),
+                jnp.int16 if out_i16 else jnp.int32,
+            ),
             scratch_shapes=scratch,
             cost_estimate=pl.CostEstimate(
                 flops=(2 * Q_pad * A_PAD + 40 * Q_pad) * B * T * G,
@@ -531,6 +552,7 @@ def build_pallas_ragged_fn_raw(
     B: int = LANE_BLOCK,
     with_flags: bool = False,
     interpret: bool = False,
+    out_i16: bool = False,
 ):
     """Whole-database scorer in ONE pallas_call over a ragged chunk stream.
 
@@ -572,7 +594,7 @@ def build_pallas_ragged_fn_raw(
                 _kernel,
                 mode=mode, track_end=track_end, with_flags=with_flags,
                 Q=Q, Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
-                out_rows=out_rows,
+                out_rows=out_rows, out_i16=out_i16,
                 is_first=lambda: meta_ref[1, c] == 1,
                 is_last=lambda: meta_ref[2, c] == 1,
                 chunk_t0=lambda: meta_ref[3, c],
@@ -602,7 +624,10 @@ def build_pallas_ragged_fn_raw(
         return pl.pallas_call(
             kernel_wrapper,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((NB, len(out_rows), B), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct(
+                (NB, len(out_rows), B),
+                jnp.int16 if out_i16 else jnp.int32,
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=(2 * Q_pad * A_PAD + 40 * Q_pad) * B * T_CHUNK * C,
                 bytes_accessed=T_CHUNK * B * C + 2 * Q_pad * A_PAD,
@@ -644,7 +669,7 @@ def _kernel_multi(
     NW snapshots each segment's last real row at lane end; HW keeps each
     segment's running last-row max; OV keeps both the last-row trackers and
     a shared end-column snapshot (m), reduced per segment at emit.
-    Out rows: n_seg (SW/NW/HW) or 2*n_seg (OV: last-row max, then colmax).
+    Out rows: n_seg (OV's last-row/last-column max merge happens at emit).
     """
     i32, f32 = jnp.int32, jnp.float32
     sw = mode == MODE_SW
@@ -767,16 +792,16 @@ def _kernel_multi(
                     jnp.where(seg_mask, mu, NEG), axis=0, keepdims=True
                 ).astype(i32)
             else:
-                out_ref[0, s : s + 1, :] = (
-                    tr_ref[s : s + 1] - off
-                ).astype(i32)
+                v = tr_ref[s : s + 1] - off
                 if mode == MODE_OV:
                     hi = lo + int(seg_qs[s])  # real rows only for colmax
                     seg_mask = (row_ids >= lo) & (row_ids < hi)
-                    out_ref[0, n_seg + s : n_seg + s + 1, :] = jnp.max(
+                    colmax = jnp.max(
                         jnp.where(seg_mask, m_ref[:] - ramp2, NEG),
                         axis=0, keepdims=True,
-                    ).astype(i32)
+                    )
+                    v = jnp.maximum(v, colmax)
+                out_ref[0, s : s + 1, :] = v.astype(i32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -791,9 +816,9 @@ def build_pallas_multi_fn_raw(
     """Ragged-stream multi-query score-only scorer (see _kernel_multi).
 
     fn(meta[5, C] i32, qp[Q_pad, A_PAD] bf16, letters[C, TC, B] i8,
-    lengths[NB, 1, B] i32) -> scores [NB, n_rows, B] where n_rows = n_seg
-    (SW/NW/HW) or 2*n_seg (OV). seg_key carries (real, 16-quantized) query
-    lengths per segment (the compile cache key)."""
+    lengths[NB, 1, B] i32) -> scores [NB, n_seg, B] (OV's last-column /
+    last-row merge happens at emit). seg_key carries (real, 16-quantized)
+    query lengths per segment (the compile cache key)."""
     if ge > go:
         raise ValueError("pallas path requires gap_ext <= gap_open")
     if len(seg_key) > MULTI_MAX_SEGS:
@@ -804,7 +829,7 @@ def build_pallas_multi_fn_raw(
     if Q_pad > max_q_pad(B, 3):
         raise ValueError("stacked queries too long for lane width")
     n_seg = len(seg_qpads)
-    n_rows = 2 * n_seg if mode == MODE_OV else n_seg
+    n_rows = n_seg
 
     def fn(meta, qp, letters, lengths):
         C = letters.shape[0]
@@ -922,12 +947,11 @@ def finalize_trackers(tr: np.ndarray, mode, search_type, Q, lengths,
         if track_end:
             out["end_q"] = np.full_like(row[TR_BEST], Q - 1)
             out["end_t"] = row[TR_BEST_C]
-    else:  # OV
-        out["score"] = np.maximum(row[TR_OV_CMAX], row[TR_BEST])
+    else:  # OV (score/end disambiguation already done on device at emit)
+        out["score"] = row[TR_BEST]
         if track_end:
-            in_last_col = row[TR_OV_CMAX] > row[TR_OV_PLRM]
-            out["end_q"] = np.where(in_last_col, row[TR_OV_ROW], Q - 1)
-            out["end_t"] = np.where(in_last_col, lengths - 1, row[TR_BEST_C])
+            out["end_q"] = row[TR_BEST_R]
+            out["end_t"] = row[TR_BEST_C]
     if with_flags:
         if mode == MODE_SW:
             out["max_ulhp"] = row[TR_ULHP]
