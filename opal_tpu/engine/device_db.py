@@ -101,6 +101,49 @@ class DeviceDatabase:
         step = max(floor, (1 << (int(n).bit_length() - 1)) // frac)
         return -(-n // step) * step
 
+    def _build_stream(self, blocks, c_pad, nb_pad):
+        """Build one uploaded (meta, letters, lengths) chunk stream for
+        `blocks` (meta block indices are positions within `blocks`), padded
+        with inert chunks to exactly (c_pad, nb_pad)."""
+        import jax
+
+        from .pallas_kernels import T_CHUNK
+
+        parts, metas = [], []
+        lengths = np.zeros((nb_pad, 1, self.block_size), np.int32)
+        for bi, blk in enumerate(blocks):
+            t_pad = blk.letters.shape[0]
+            assert t_pad % T_CHUNK == 0, t_pad
+            nch = t_pad // T_CHUNK
+            parts.append(blk.letters.reshape(nch, T_CHUNK, -1))
+            m = np.zeros((nch, 5), np.int32)
+            m[:, 0] = bi
+            m[0, 1] = 1
+            m[-1, 2] = 1
+            m[:, 3] = np.arange(nch, dtype=np.int32) * T_CHUNK
+            m[:, 4] = 1  # active
+            metas.append(m)
+            lengths[bi, 0] = blk.lengths
+        c_real = sum(p.shape[0] for p in parts)
+        assert c_real <= c_pad and len(blocks) < nb_pad
+        if c_pad > c_real:
+            parts.append(np.zeros(
+                (c_pad - c_real, T_CHUNK, self.block_size), np.int8
+            ))
+            dm = np.zeros((c_pad - c_real, 5), np.int32)
+            dm[:, 0] = nb_pad - 1  # trash output row, never emitted
+            metas.append(dm)       # active=0: kernel skips them
+        letters = np.concatenate(parts, axis=0)
+        meta = np.concatenate(metas, axis=0)
+        # [5, C] layout: scalar-prefetch SMEM pads the minor dim to a
+        # full lane stripe, so the minor dim must be the long one.
+        meta = np.ascontiguousarray(meta.T)
+        return (
+            jax.device_put(meta),
+            jax.device_put(letters),
+            jax.device_put(lengths),
+        )
+
     def flat(self):
         """Ragged chunk stream for the single-launch pallas path: the whole
         DB as one [C, T_CHUNK, B] int8 chunk sequence (each block's chunks
@@ -116,47 +159,54 @@ class DeviceDatabase:
         fresh XLA compile (the reference has no compile step to amortize).
         """
         if self._flat is None:
-            import jax
-
             from .pallas_kernels import T_CHUNK
 
-            parts, metas = [], []
             nb = len(self.blocks)
             nb_pad = self._quantize(max(nb + 1, 2))  # +1 trash row
-            lengths = np.zeros((nb_pad, 1, self.block_size), np.int32)
-            for bi, blk in enumerate(self.blocks):
-                t_pad = blk.letters.shape[0]
-                assert t_pad % T_CHUNK == 0, t_pad
-                nch = t_pad // T_CHUNK
-                parts.append(blk.letters.reshape(nch, T_CHUNK, -1))
-                m = np.zeros((nch, 5), np.int32)
-                m[:, 0] = bi
-                m[0, 1] = 1
-                m[-1, 2] = 1
-                m[:, 3] = np.arange(nch, dtype=np.int32) * T_CHUNK
-                m[:, 4] = 1  # active
-                metas.append(m)
-                lengths[bi, 0] = blk.lengths
-            c_real = sum(p.shape[0] for p in parts)
-            c_pad = self._quantize(max(c_real, 1))
-            if c_pad > c_real:
-                parts.append(np.zeros(
-                    (c_pad - c_real, T_CHUNK, self.block_size), np.int8
-                ))
-                dm = np.zeros((c_pad - c_real, 5), np.int32)
-                dm[:, 0] = nb_pad - 1  # trash output row, never emitted
-                metas.append(dm)       # active=0: kernel skips them
-            letters = np.concatenate(parts, axis=0)
-            meta = np.concatenate(metas, axis=0)
-            # [5, C] layout: scalar-prefetch SMEM pads the minor dim to a
-            # full lane stripe, so the minor dim must be the long one.
-            meta = np.ascontiguousarray(meta.T)
-            self._flat = (
-                jax.device_put(meta),
-                jax.device_put(letters),
-                jax.device_put(lengths),
+            c_real = sum(
+                blk.letters.shape[0] // T_CHUNK for blk in self.blocks
             )
+            c_pad = self._quantize(max(c_real, 1))
+            self._flat = self._build_stream(self.blocks, c_pad, nb_pad)
         return self._flat
+
+    def flat_parts(self, k: int):
+        """The flat() stream split into k equal-shaped parts (contiguous
+        block ranges balanced by chunk count, all padded to one common
+        (c_pad, nb_pad) so a single compiled kernel serves every part).
+        Returns [(block_list, meta, letters, lengths), ...]. Fetching part
+        i's results while part i+1 computes pipelines the device->host
+        transfer behind compute."""
+        if k <= 1 or len(self.blocks) < 2 * k:
+            meta, letters, lengths = self.flat()
+            return [(self.blocks, meta, letters, lengths)]
+        cached = getattr(self, "_flat_parts", None)
+        if cached is not None and cached[0] == k:
+            return cached[1]
+        from .pallas_kernels import T_CHUNK
+
+        nch = [blk.letters.shape[0] // T_CHUNK for blk in self.blocks]
+        total = sum(nch)
+        # contiguous greedy split at ~equal chunk mass
+        groups, cur, acc = [], [], 0
+        target = total / k
+        for blk, c in zip(self.blocks, nch):
+            cur.append(blk)
+            acc += c
+            if acc >= target * (len(groups) + 1) and len(groups) < k - 1:
+                groups.append(cur)
+                cur = []
+        if cur:
+            groups.append(cur)
+        c_pad = self._quantize(max(
+            sum(blk.letters.shape[0] // T_CHUNK for blk in g)
+            for g in groups))
+        nb_pad = self._quantize(max(max(len(g) for g in groups) + 1, 2))
+        out = [
+            (g,) + self._build_stream(g, c_pad, nb_pad) for g in groups
+        ]
+        self._flat_parts = (k, out)
+        return out
 
     def __len__(self) -> int:
         return self.n

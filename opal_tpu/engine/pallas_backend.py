@@ -24,6 +24,10 @@ from .xla_backend import XlaBackend
 class PallasBackend:
     name = "pallas"
 
+    # payload bytes per pipelined gather part (tests shrink this to force
+    # multi-part dispatch on small databases)
+    SPLIT_PAYLOAD_BYTES = 512 * 1024
+
     def __init__(self, interpret: bool = False):
         self.interpret = interpret
         self._fallback = XlaBackend()
@@ -152,8 +156,22 @@ class PallasBackend:
             with_flags=with_flags, interpret=self.interpret,
             out_i16=out_i16,
         )
-        meta, letters, lengths = ddb.flat()
-        return ("ragged", fn(meta, qp_dev, letters, lengths))
+        # Pipeline the device->host result download behind compute: split
+        # the stream into equal-shaped parts (one compiled kernel serves
+        # all) and fetch part i while part i+1 computes. Only worth it
+        # when the payload is big enough to dominate a fetch round trip;
+        # capped at 2 parts — each extra fetch pays the link round-trip
+        # latency (~26 ms tunneled), which k>2 cannot amortize (measured:
+        # k=4 regresses 10%, k=2 wins ~5% on both x0 and x1).
+        rows = len(pk.tracker_rows(mode, search_type, with_flags))
+        payload = len(ddb.blocks) * rows * B * (2 if out_i16 else 4)
+        k = max(1, min(2, payload // self.SPLIT_PAYLOAD_BYTES))
+        parts = ddb.flat_parts(int(k))
+        outs = [
+            (blocks, fn(meta, qp_dev, letters, lengths))
+            for blocks, meta, letters, lengths in parts
+        ]
+        return ("ragged", outs)
 
     def supports_multi(self, queries, gap_open, gap_ext, B, A, matrix,
                        max_target_len=0):
@@ -220,12 +238,16 @@ class PallasBackend:
         return result
 
     def gather(self, handle):
-        """Fetch all results in one host round trip."""
+        """Fetch all results; multi-part ragged payloads are fetched in
+        order so part i's transfer overlaps part i+1's compute."""
         import jax
 
         kind, payload = handle
         if kind == "xla":
             return (kind, self._fallback.gather(payload))
+        if kind == "ragged" and payload is not None:
+            return (kind, [(blocks, np.asarray(out))
+                           for blocks, out in payload])
         return (kind, jax.device_get(payload) if payload is not None
                 else None)
 
@@ -240,13 +262,15 @@ class PallasBackend:
         if kind == "ragged":
             if payload is None:
                 return result
-            for bi, blk in enumerate(ddb.blocks):
-                out = pk.finalize_trackers(
-                    np.asarray(payload[bi]).astype(np.int32, copy=False),
-                    mode, search_type, Q,
-                    np.asarray(blk.lengths), with_flags,
-                )
-                result.append((blk, {k: v[: blk.n] for k, v in out.items()}))
+            for blocks, tr in payload:
+                for bi, blk in enumerate(blocks):
+                    out = pk.finalize_trackers(
+                        np.asarray(tr[bi]).astype(np.int32, copy=False),
+                        mode, search_type, Q,
+                        np.asarray(blk.lengths), with_flags,
+                    )
+                    result.append(
+                        (blk, {k: v[: blk.n] for k, v in out.items()}))
             return result
         for grp, tr_g in zip(ddb.groups, payload):
             for g, blk in enumerate(grp.blocks):

@@ -179,3 +179,28 @@ def test_long_query_lane_width_downshift(monkeypatch):
     # needs 2 state arrays: Q_pad=48 first fits at B=256)
     (n, per_b), = eng._resident_cache.values()
     assert 256 in per_b and per_b[256].block_size == 256
+
+
+def test_pipelined_multipart_gather(monkeypatch):
+    """The split-stream gather (payload pipelining) must produce identical
+    results to the single-launch path, including block->sequence mapping."""
+    from opal_tpu.engine.pallas_backend import PallasBackend
+
+    backend = PallasBackend(interpret=True)
+    monkeypatch.setattr(PallasBackend, "SPLIT_PAYLOAD_BYTES", 64)
+    eng = Engine(backend="pallas", block_size=16)
+    eng._backend = backend
+    rng = np.random.default_rng(11)
+    query, db, matrix = random_problem(
+        rng, n_seqs=150, query_len=30, min_len=5, max_len=90)
+    res = search_database(query, db, 3, 1, matrix, mode=MODE_SW,
+                          search_type=SEARCH_SCORE_END, engine=eng)
+    want = search_oracle(query, db, 3, 1, matrix, MODE_SW, SEARCH_SCORE_END)
+    for i, (r, w) in enumerate(zip(res, want)):
+        assert r.score == w.score, i
+        if w.score != 0:
+            assert (r.end_location_query, r.end_location_target) == (
+                w.end_location_query, w.end_location_target), i
+    # confirm the dispatch actually split
+    ddb = eng._get_resident(db)
+    assert len(ddb.flat_parts(4)) > 1
