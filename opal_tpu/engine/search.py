@@ -357,23 +357,27 @@ def search_database(
     ddb = db if isinstance(db, DeviceDatabase) else None
     db_list = ddb.raw if ddb is not None else db
     n = len(db_list)
-    if results is None:
-        results = [SearchResult() for _ in range(n)]
-
-    # Skip already-calculated sequences (reference: src/opal.cpp:1446-1451).
     track_end = search_type != SEARCH_SCORE
-    skip = np.array(
-        [
-            (not r.is_empty())
-            and (
-                search_type == SEARCH_SCORE
-                or (r.end_location_query >= 0 and r.end_location_target >= 0)
-            )
-            for r in results
-        ],
-        dtype=bool,
-    )
-    todo = np.nonzero(~skip)[0]
+    if results is None:
+        # fresh results: everything is to-do, no need to scan for skips
+        results = [SearchResult() for _ in range(n)]
+        todo = np.arange(n)
+    else:
+        # Skip already-calculated sequences (reference:
+        # src/opal.cpp:1446-1451).
+        skip = np.array(
+            [
+                (not r.is_empty())
+                and (
+                    search_type == SEARCH_SCORE
+                    or (r.end_location_query >= 0
+                        and r.end_location_target >= 0)
+                )
+                for r in results
+            ],
+            dtype=bool,
+        )
+        todo = np.nonzero(~skip)[0]
 
     adaptive = engine.config.precision == "adaptive"
     if todo.size:
@@ -423,10 +427,14 @@ def search_database(
         if align_top_k:
             from ..ranking import rank_scores
 
-            scores = np.array(
-                [r.score if r.score_set else -(2**62) for r in results]
-            )
-            align_set = set(rank_scores(scores, align_top_k).tolist())
+            if todo.size == n:
+                all_scores = np.empty(n, np.int64)
+                all_scores[idx] = cols["score"]
+            else:
+                all_scores = np.array(
+                    [r.score if r.score_set else -(2**62) for r in results]
+                )
+            align_set = set(rank_scores(all_scores, align_top_k).tolist())
 
         def _align_one(i):
             r = results[i]
@@ -440,10 +448,11 @@ def search_database(
                 return i, None, exc
 
         todo_align = []
-        for i in range(n):
+        # non-top-k sequences keep exact score/end and no path; only the
+        # candidates need a pass (avoids an O(n) scan at large n)
+        cand = range(n) if align_set is None else sorted(align_set)
+        for i in cand:
             r = results[i]
-            if align_set is not None and i not in align_set:
-                continue  # keep exact score/end; no path for non-top-k
             if mode == MODE_SW and r.score == 0:
                 # reference: src/opal.cpp:1479-1483
                 r.alignment = None

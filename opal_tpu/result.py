@@ -12,7 +12,7 @@ from typing import Optional
 import numpy as np
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class SearchResult:
     score_set: int = 0
     score: int = 0
