@@ -85,7 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
                    "2=+start location and alignment")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "xla", "pallas"])
-    p.add_argument("--block-size", type=int, default=512,
+    p.add_argument("--block-size", type=int, default=1024,
                    help="DB sequences per device block")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the search into DIR")
