@@ -214,27 +214,42 @@ class PallasBackend:
         if not ddb.blocks:
             return (None, seg_qs, mode)
         seg_key = tuple(zip(seg_qs, seg_qpads))
+        absmax = max(
+            (int(np.abs(qp).max()) for qp in qprofiles if qp.size),
+            default=0,
+        )
+        out_i16 = self._out_i16_ok(
+            max(seg_qs), absmax, int(gap_open), int(gap_ext),
+            0, False, ddb.max_len,
+        )
         fn = pk.build_pallas_multi_fn_raw(
             mode, seg_key, int(gap_open), int(gap_ext), B=ddb.block_size,
-            interpret=self.interpret,
+            interpret=self.interpret, out_i16=out_i16,
         )
-        meta, letters, lengths = ddb.flat()
-        out = fn(meta, jnp.asarray(qp_np, jnp.bfloat16), letters, lengths)
-        return (out, seg_qs, mode)
+        qp_dev = jnp.asarray(qp_np, jnp.bfloat16)
+        n_seg = len(seg_qs)
+        payload = (len(ddb.blocks) * n_seg * ddb.block_size
+                   * (2 if out_i16 else 4))
+        k = max(1, min(2, payload // self.SPLIT_PAYLOAD_BYTES))
+        parts = ddb.flat_parts(int(k))
+        outs = [
+            (blocks, fn(meta, qp_dev, letters, lengths))
+            for blocks, meta, letters, lengths in parts
+        ]
+        return (outs, seg_qs, mode)
 
     def collect_multi(self, handle, ddb):
         """Returns per-query lists of (Block, scores[n]) pairs."""
-        import jax
-
         payload, seg_qs, mode = handle
         n_q = len(seg_qs)
         if payload is None:
             return [[] for _ in range(n_q)]
-        tr = jax.device_get(payload)  # [NB, n_seg, B]
         result = [[] for _ in range(n_q)]
-        for bi, blk in enumerate(ddb.blocks):
-            for s in range(n_q):
-                result[s].append((blk, tr[bi, s, : blk.n]))
+        for blocks, out in payload:
+            tr = np.asarray(out).astype(np.int32, copy=False)
+            for bi, blk in enumerate(blocks):
+                for s in range(n_q):
+                    result[s].append((blk, tr[bi, s, : blk.n]))
         return result
 
     def gather(self, handle):

@@ -649,7 +649,7 @@ def build_pallas_ragged_fn(*args, **kw):
 def _kernel_multi(
     qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, m_ref, l32_ref,
     tr_ref, *, mode, seg_qs, seg_qpads, Q_pad, TC, B, go, ge,
-    is_first, is_last, chunk_t0,
+    is_first, is_last, chunk_t0, out_i16=False,
 ):
     """Score-only search with N queries stacked along the row axis
     (any mode).
@@ -788,9 +788,12 @@ def _kernel_multi(
             if sw:
                 hi = lo + int(seg_qpads[s])
                 seg_mask = (row_ids >= lo) & (row_ids < hi)
-                out_ref[0, s : s + 1, :] = jnp.max(
+                v = jnp.max(
                     jnp.where(seg_mask, mu, NEG), axis=0, keepdims=True
-                ).astype(i32)
+                )
+                if out_i16:
+                    v = jnp.clip(v, -32768.0, 32767.0)
+                out_ref[0, s : s + 1, :] = v.astype(out_ref.dtype)
             else:
                 v = tr_ref[s : s + 1] - off
                 if mode == MODE_OV:
@@ -801,7 +804,9 @@ def _kernel_multi(
                         axis=0, keepdims=True,
                     )
                     v = jnp.maximum(v, colmax)
-                out_ref[0, s : s + 1, :] = v.astype(i32)
+                if out_i16:
+                    v = jnp.clip(v, -32768.0, 32767.0)
+                out_ref[0, s : s + 1, :] = v.astype(out_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -812,6 +817,7 @@ def build_pallas_multi_fn_raw(
     ge: int,
     B: int = LANE_BLOCK,
     interpret: bool = False,
+    out_i16: bool = False,
 ):
     """Ragged-stream multi-query score-only scorer (see _kernel_multi).
 
@@ -845,6 +851,7 @@ def build_pallas_multi_fn_raw(
                     _kernel_multi,
                     mode=mode, seg_qs=seg_qs, seg_qpads=seg_qpads,
                     Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
+                    out_i16=out_i16,
                     is_first=lambda: meta_ref[1, c] == 1,
                     is_last=lambda: meta_ref[2, c] == 1,
                     chunk_t0=lambda: meta_ref[3, c],
@@ -871,7 +878,9 @@ def build_pallas_multi_fn_raw(
         return pl.pallas_call(
             kernel_wrapper,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((NB, n_rows, B), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct(
+                (NB, n_rows, B), jnp.int16 if out_i16 else jnp.int32
+            ),
             compiler_params=_compiler_params(interpret),
             interpret=interpret,
         )(meta, qp, letters, lengths)
