@@ -78,7 +78,17 @@ T_CHUNK = 64         # target positions per grid step
 # another 1.5x of it, all inside VMEM_LIMIT (validated on v5e at Q=3000,
 # B=1024: 3 x 12M scratch + temps fit under the 100M scoped ceiling).
 VMEM_STATE_BUDGET = 36 * 1024 * 1024
+# At the narrowest lane width the compiler's temporaries are small, so a
+# larger share of VMEM can hold DP state — extends the pallas fast path to
+# titin-scale queries (Q ~ 43k at B=128; validated on v5e at Q=34,350:
+# 64.6 GCUPS vs ~16 on the XLA fallback, oracle-exact).
+VMEM_STATE_BUDGET_NARROW = 64 * 1024 * 1024
 VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic scoped-VMEM ceiling (v5e has 128M)
+VMEM_LIMIT_BIG = 120 * 1024 * 1024
+
+
+def state_budget(B: int) -> int:
+    return VMEM_STATE_BUDGET_NARROW if B <= 128 else VMEM_STATE_BUDGET
 
 # Multi-query stacking (SW score-only): queries stacked along the row axis
 # as independent DP segments; the segmented max-plus scan is realized by
@@ -95,9 +105,12 @@ MULTI_VALUE_BOUND = 2**18
 MULTI_AREA_BUDGET = 1 << 20
 
 
-def _compiler_params(interpret: bool):
+def _compiler_params(interpret: bool, big_state: bool = False):
+    # big_state: narrow-lane long-query configs run with DP state beyond
+    # the standard budget; raise the scoped-VMEM cap accordingly (v5e has
+    # 128M; 120M validated at B=128, Q_pad=34368).
     return None if interpret else pltpu.CompilerParams(
-        vmem_limit_bytes=VMEM_LIMIT
+        vmem_limit_bytes=VMEM_LIMIT_BIG if big_state else VMEM_LIMIT
     )
 
 
@@ -113,7 +126,7 @@ def n_state_arrays(mode: int, search_type: int, with_flags: bool) -> int:
 def max_q_pad(B: int, arrays: int = 3) -> int:
     """Largest supported padded query length for lane width B: the f32 DP
     state arrays must fit the VMEM budget alongside the working set."""
-    return (VMEM_STATE_BUDGET // (arrays * 4 * B)) // 16 * 16
+    return (state_budget(B) // (arrays * 4 * B)) // 16 * 16
 
 # tracker rows in the [8, B] tracker scratch/output
 TR_BEST = 0      # SW best score / NW-HW-OV last-row running max
@@ -535,7 +548,10 @@ def build_pallas_score_fn_raw(
                 bytes_accessed=T * B * G + 2 * Q_pad * A_PAD,
                 transcendentals=0,
             ),
-            compiler_params=_compiler_params(interpret),
+            compiler_params=_compiler_params(
+                interpret,
+                big_state=Q_pad * B * 4 * arrays > VMEM_STATE_BUDGET,
+            ),
             interpret=interpret,
         )(qp, letters, lengths)
 
@@ -633,7 +649,10 @@ def build_pallas_ragged_fn_raw(
                 bytes_accessed=T_CHUNK * B * C + 2 * Q_pad * A_PAD,
                 transcendentals=0,
             ),
-            compiler_params=_compiler_params(interpret),
+            compiler_params=_compiler_params(
+                interpret,
+                big_state=Q_pad * B * 4 * arrays > VMEM_STATE_BUDGET,
+            ),
             interpret=interpret,
         )(meta, qp, letters, lengths)
 
