@@ -48,6 +48,9 @@ MODES = (MODE_NW, MODE_HW, MODE_OV, MODE_SW)
 
 # Fixed query-length pool: tiny, sublane-tile edges, typical, long.
 Q_POOL = (1, 15, 17, 64, 110, 300)
+# --long mode pool: exercises the lane-width downshift (B 512/256/128)
+# and the narrow-width big-VMEM configs against the oracle.
+Q_POOL_LONG = (1500, 3000, 6000, 13000)
 
 # Adversarial target lengths: chunk/quantum/block edges and degenerates.
 EDGE_LENS = (1, 2, 63, 64, 65, 127, 128, 129, 191, 320)
@@ -95,11 +98,11 @@ def random_gaps(rng):
     return go, ge
 
 
-def run_trial(seed, engine):
+def run_trial(seed, engine, long_queries=False):
     rng = np.random.default_rng(seed)
     A, matrix = random_matrix(rng)
     go, ge = random_gaps(rng)
-    Q = int(rng.choice(Q_POOL))
+    Q = int(rng.choice(Q_POOL_LONG if long_queries else Q_POOL))
     query = rng.integers(0, A, size=Q, dtype=np.uint8)
     n = int(rng.integers(10, 120))
     db = random_db(rng, n, A)
@@ -186,6 +189,8 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--block-size", type=int, default=256)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--long", action="store_true",
+                    help="long-query pool (downshift / narrow-width paths)")
     args = ap.parse_args()
 
     engine = Engine(backend=args.backend, block_size=args.block_size)
@@ -194,7 +199,7 @@ def main():
     t0 = time.time()
     for k, s in enumerate(seeds):
         try:
-            tag = run_trial(int(s), engine)
+            tag = run_trial(int(s), engine, long_queries=args.long)
         except Exception:
             print(f"FAIL trial {k} seed {int(s)}")
             traceback.print_exc()
