@@ -429,7 +429,7 @@ def search_database(
         if align_top_k:
             from ..ranking import rank_scores
 
-            if todo.size == n:
+            if todo.size and todo.size == n:
                 all_scores = np.empty(n, np.int64)
                 all_scores[idx] = cols["score"]
             else:

@@ -204,3 +204,21 @@ def test_pipelined_multipart_gather(monkeypatch):
     # confirm the dispatch actually split
     ddb = eng._get_resident(db)
     assert len(ddb.flat_parts(4)) > 1
+
+
+def test_empty_db_and_full_skip_edges(engine):
+    """Empty databases and fully-skipped searches must not crash, for all
+    search types including align_top_k."""
+    matrix = np.array([[2, -1], [-1, 2]], dtype=np.int32)
+    query = np.array([0, 1, 0], dtype=np.uint8)
+    out = search_database(query, [], 3, 1, matrix, mode=MODE_SW,
+                          search_type=SEARCH_ALIGNMENT, engine=engine,
+                          align_top_k=5)
+    assert out == []
+    db = [np.array([0, 1], dtype=np.uint8)]
+    pre = search_database(query, db, 3, 1, matrix, mode=MODE_SW,
+                          search_type=SEARCH_SCORE_END, engine=engine)
+    again = search_database(query, db, 3, 1, matrix, mode=MODE_SW,
+                            search_type=SEARCH_ALIGNMENT, engine=engine,
+                            results=pre, align_top_k=1)
+    assert again[0].score == pre[0].score
