@@ -30,7 +30,8 @@ import sys
 
 import numpy as np
 
-from .constants import MODE_CODES, SEARCH_ALIGNMENT, SEARCH_SCORE
+from .constants import (MODE_CODES, MODE_SW, SEARCH_ALIGNMENT,
+                        SEARCH_SCORE)
 from .engine.search import (
     Engine,
     search_database,
@@ -56,6 +57,24 @@ class Server:
         self.ddb = self.engine.upload(self.db)
         self._cache: dict = {}         # request-identity -> response dict
         self._cache_order: list = []   # small LRU (identical re-queries)
+
+    def warm(self, lengths, gap_open: int = 3, gap_ext: int = 1,
+             mode: int = MODE_SW) -> None:
+        """Pre-compile the kernel shapes for the given query lengths (the
+        first search per 16-quantized length pays tens of seconds of XLA
+        compile otherwise). Call at startup with the lengths your serving
+        traffic uses; with a persistent compilation cache this is a one-off
+        per deployment."""
+        from .engine.search import search_database_arrays
+
+        rng = np.random.default_rng(0)
+        A = self.sm.matrix.shape[0]
+        for L in lengths:
+            q = rng.integers(0, A, size=int(L), dtype=np.uint8)
+            search_database_arrays(
+                q, self.ddb, gap_open, gap_ext, self.sm.matrix, mode=mode,
+                search_type=SEARCH_SCORE, engine=self.engine,
+            )
 
     def _encode_query(self, s: str) -> np.ndarray:
         if not s:
@@ -162,10 +181,16 @@ def main(argv=None) -> int:
     p.add_argument("--matrix-file", default=None)
     p.add_argument("--block-size", type=int, default=1024)
     p.add_argument("--backend", default="auto")
+    p.add_argument("--warm", default=None, metavar="L1,L2,...",
+                   help="pre-compile kernels for these query lengths at "
+                        "startup (first search per 16-quantized length "
+                        "otherwise pays the XLA compile)")
     args = p.parse_args(argv)
     srv = Server(args.db, matrix_name=args.matrix,
                  matrix_file=args.matrix_file, block_size=args.block_size,
                  backend=args.backend)
+    if args.warm:
+        srv.warm(int(x) for x in args.warm.split(","))
     return srv.run()
 
 
