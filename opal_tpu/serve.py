@@ -21,6 +21,9 @@ Response: {"id": ..., "hits": [[db_index, score], ...]} ranked by
 Batched SW score requests run as stacked multi-query kernel launches.
 
 Run: ``python -m opal_tpu.serve db.fasta [--matrix NAME] [--block-size N]``.
+With ``--listen PORT`` the same line protocol is served over TCP (one JSON
+object per line per connection; concurrent connections are accepted and
+their requests serialized through the single-chip engine).
 """
 from __future__ import annotations
 
@@ -150,26 +153,73 @@ class Server:
                 ])
         return {"hits": answers[0]} if single else {"hits": answers}
 
+    def _respond(self, line: str) -> str:
+        try:
+            req = json.loads(line)
+            resp = {"id": req.get("id"), **self.handle(req)}
+        except Exception as exc:  # noqa: BLE001 — protocol boundary
+            try:
+                rid = json.loads(line).get("id")
+            except Exception:
+                rid = None
+            resp = {"id": rid, "error": f"{type(exc).__name__}: {exc}"}
+        return json.dumps(resp)
+
+    def _ready_banner(self) -> str:
+        return json.dumps({"ready": True, "n_db": len(self.db),
+                           "residues": int(self.ddb.total_residues)})
+
     def run(self, fin=None, fout=None) -> int:
         fin = fin or sys.stdin
         fout = fout or sys.stdout
-        print(json.dumps({"ready": True, "n_db": len(self.db),
-                          "residues": int(self.ddb.total_residues)}),
-              file=fout, flush=True)
+        print(self._ready_banner(), file=fout, flush=True)
         for line in fin:
             line = line.strip()
             if not line:
                 continue
+            print(self._respond(line), file=fout, flush=True)
+        return 0
+
+    def serve_tcp(self, port: int, host: str = "127.0.0.1") -> int:
+        """TCP front end for the same line protocol: each connection gets
+        the ready banner, then one JSON response line per request line.
+        Concurrent connections are accepted; request handling (device
+        dispatch + response cache) is serialized under a lock — the
+        single-chip engine is the bottleneck either way."""
+        import socket
+        import socketserver
+        import threading
+
+        outer = self
+        lock = threading.Lock()
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                self.wfile.write(
+                    (outer._ready_banner() + "\n").encode())
+                for raw in self.rfile:
+                    line = raw.decode(errors="replace").strip()
+                    if not line:
+                        continue
+                    with lock:
+                        out = outer._respond(line)
+                    try:
+                        self.wfile.write((out + "\n").encode())
+                    except (BrokenPipeError, ConnectionResetError):
+                        return
+
+        class Srv(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        with Srv((host, port), Handler) as srv:
+            actual = srv.server_address[1]
+            print(json.dumps({"listening": True, "host": host,
+                              "port": actual}), flush=True)
             try:
-                req = json.loads(line)
-                resp = {"id": req.get("id"), **self.handle(req)}
-            except Exception as exc:  # noqa: BLE001 — protocol boundary
-                try:
-                    rid = json.loads(line).get("id")
-                except Exception:
-                    rid = None
-                resp = {"id": rid, "error": f"{type(exc).__name__}: {exc}"}
-            print(json.dumps(resp), file=fout, flush=True)
+                srv.serve_forever()
+            except KeyboardInterrupt:
+                pass
         return 0
 
 
@@ -185,12 +235,19 @@ def main(argv=None) -> int:
                    help="pre-compile kernels for these query lengths at "
                         "startup (first search per 16-quantized length "
                         "otherwise pays the XLA compile)")
+    p.add_argument("--listen", type=int, default=None, metavar="PORT",
+                   help="serve the line protocol over TCP on this port "
+                        "(default: stdin/stdout)")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address for --listen (default: loopback)")
     args = p.parse_args(argv)
     srv = Server(args.db, matrix_name=args.matrix,
                  matrix_file=args.matrix_file, block_size=args.block_size,
                  backend=args.backend)
     if args.warm:
         srv.warm(int(x) for x in args.warm.split(","))
+    if args.listen is not None:
+        return srv.serve_tcp(args.listen, host=args.host)
     return srv.run()
 
 

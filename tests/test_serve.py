@@ -114,3 +114,57 @@ def test_serve_names_and_cache(server):
     for h in r3["hits"]:
         assert len(h) == 2                # no names unless requested
     assert len(srv._cache) >= 2
+
+
+def test_serve_tcp(server):
+    """TCP front end: ready banner + responses per connection, identical
+    to the stdin protocol; concurrent connections don't interleave."""
+    import socket
+    import threading
+
+    srv, sm, rng = server
+    started = threading.Event()
+    port_box = {}
+
+    def run_srv():
+        import socketserver
+        from unittest.mock import patch
+
+        real_init = socketserver.TCPServer.__init__
+
+        def catch_port(self, *a, **kw):
+            real_init(self, *a, **kw)
+            port_box["port"] = self.server_address[1]
+            started.set()
+
+        with patch.object(socketserver.TCPServer, "__init__", catch_port):
+            try:
+                srv.serve_tcp(0)
+            except Exception:
+                pass
+
+    t = threading.Thread(target=run_srv, daemon=True)
+    t.start()
+    assert started.wait(10)
+
+    def ask(reqs):
+        with socket.create_connection(("127.0.0.1", port_box["port"]),
+                                      timeout=30) as c:
+            f = c.makefile("rw")
+            banner = json.loads(f.readline())
+            assert banner["ready"]
+            out = []
+            for r in reqs:
+                f.write(json.dumps(r) + "\n")
+                f.flush()
+                out.append(json.loads(f.readline()))
+            return out
+
+    alpha = sm.alphabet
+    q = "".join(alpha[j] for j in rng.integers(0, 20, size=40))
+    (r1,) = ask([{"id": 1, "query": q, "top_k": 3}])
+    assert r1["id"] == 1 and len(r1["hits"]) == 3
+    (r2,) = ask([{"id": 2, "query": q, "top_k": 3}])
+    assert r2["hits"] == r1["hits"]
+    (err,) = ask([{"id": 3, "query": ""}])
+    assert "error" in err
