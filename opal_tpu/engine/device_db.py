@@ -187,17 +187,22 @@ class DeviceDatabase:
 
         nch = [blk.letters.shape[0] // T_CHUNK for blk in self.blocks]
         total = sum(nch)
-        # contiguous greedy split at ~equal chunk mass
-        groups, cur, acc = [], [], 0
-        target = total / k
-        for blk, c in zip(self.blocks, nch):
-            cur.append(blk)
-            acc += c
-            if acc >= target * (len(groups) + 1) and len(groups) < k - 1:
-                groups.append(cur)
-                cur = []
-        if cur:
-            groups.append(cur)
+        # contiguous split at ~equal chunk mass: cut after the block whose
+        # prefix mass first reaches j*total/k, guaranteeing every part gets
+        # at least one block (a naive greedy loop degenerates to one group
+        # when a heavy tail block carries most of the mass)
+        prefix = np.cumsum(nch)
+        cuts = []
+        for j in range(1, k):
+            c = int(np.searchsorted(prefix, total * j / k))
+            lo = (cuts[-1] + 1) if cuts else 0
+            cuts.append(min(max(c, lo), len(self.blocks) - (k - j) - 1))
+        groups, lo = [], 0
+        for c in cuts:
+            groups.append(self.blocks[lo : c + 1])
+            lo = c + 1
+        groups.append(self.blocks[lo:])
+        assert all(groups), [len(g) for g in groups]
         c_pad = self._quantize(max(
             sum(blk.letters.shape[0] // T_CHUNK for blk in g)
             for g in groups))

@@ -62,7 +62,9 @@ class PallasBackend:
         while B > 128 and not self.supports(
                 Q, gap_open, gap_ext, B=B, A=A,
                 profile_absmax=profile_absmax, arrays=arrays):
-            B //= 2
+            # snap to the 128-lane stripe (non-power-of-two widths halve
+            # into invalid lane counts otherwise, e.g. 768 -> 384 -> 192)
+            B = max(128, (B // 2) // 128 * 128)
         return max(B, 128)
 
     def prepare_query(self, qprofile, gap_open, gap_ext):

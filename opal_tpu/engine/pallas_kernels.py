@@ -125,8 +125,12 @@ def n_state_arrays(mode: int, search_type: int, with_flags: bool) -> int:
 
 def max_q_pad(B: int, arrays: int = 3) -> int:
     """Largest supported padded query length for lane width B: the f32 DP
-    state arrays must fit the VMEM budget alongside the working set."""
-    return (state_budget(B) // (arrays * 4 * B)) // 16 * 16
+    state arrays must fit the VMEM budget alongside the working set. At the
+    narrow width the compiler's per-column [Q_pad, B] temporaries are the
+    binding constraint, so 2-array configs are capped at the validated
+    3-array ceiling (~43k) rather than allowed to grow to 64k."""
+    arrays_eff = max(arrays, 3) if B <= 128 else arrays
+    return (state_budget(B) // (arrays_eff * 4 * B)) // 16 * 16
 
 # tracker rows in the [8, B] tracker scratch/output
 TR_BEST = 0      # SW best score / NW-HW-OV last-row running max

@@ -65,19 +65,23 @@ class Server:
              mode: int = MODE_SW) -> None:
         """Pre-compile the kernel shapes for the given query lengths (the
         first search per 16-quantized length pays tens of seconds of XLA
-        compile otherwise). Call at startup with the lengths your serving
-        traffic uses; with a persistent compilation cache this is a one-off
-        per deployment."""
+        compile otherwise). Compiles both score-only and score+end kernels
+        so plain and align=true requests at the default mode/gaps are both
+        covered. Call at startup with the lengths your serving traffic
+        uses; with a persistent compilation cache this is a one-off per
+        deployment."""
+        from .constants import SEARCH_SCORE_END
         from .engine.search import search_database_arrays
 
         rng = np.random.default_rng(0)
         A = self.sm.matrix.shape[0]
         for L in lengths:
             q = rng.integers(0, A, size=int(L), dtype=np.uint8)
-            search_database_arrays(
-                q, self.ddb, gap_open, gap_ext, self.sm.matrix, mode=mode,
-                search_type=SEARCH_SCORE, engine=self.engine,
-            )
+            for st in (SEARCH_SCORE, SEARCH_SCORE_END):
+                search_database_arrays(
+                    q, self.ddb, gap_open, gap_ext, self.sm.matrix,
+                    mode=mode, search_type=st, engine=self.engine,
+                )
 
     def _encode_query(self, s: str) -> np.ndarray:
         if not s:
@@ -193,11 +197,22 @@ class Server:
         outer = self
         lock = threading.Lock()
 
+        MAX_LINE = 16 * 1024 * 1024  # request-size cap (network surface)
+
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
                 self.wfile.write(
                     (outer._ready_banner() + "\n").encode())
-                for raw in self.rfile:
+                while True:
+                    raw = self.rfile.readline(MAX_LINE + 1)
+                    if not raw:
+                        return
+                    if len(raw) > MAX_LINE:
+                        self.wfile.write(json.dumps(
+                            {"id": None, "error":
+                             "RequestTooLarge: line exceeds 16 MiB"}
+                        ).encode() + b"\n")
+                        return  # stream is mid-line; drop the connection
                     line = raw.decode(errors="replace").strip()
                     if not line:
                         continue
