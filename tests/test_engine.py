@@ -222,3 +222,13 @@ def test_empty_db_and_full_skip_edges(engine):
                             search_type=SEARCH_ALIGNMENT, engine=engine,
                             results=pre, align_top_k=1)
     assert again[0].score == pre[0].score
+
+
+def test_narrow_width_ceiling_capped():
+    """B=128 long-query configs are capped at the validated 3-array VMEM
+    envelope regardless of how few state arrays the config needs (compiler
+    temporaries bind before the state budget there)."""
+    from opal_tpu.engine import pallas_kernels as pk
+
+    assert pk.max_q_pad(128, 2) == pk.max_q_pad(128, 3)
+    assert pk.max_q_pad(256, 2) > pk.max_q_pad(256, 3)

@@ -17,7 +17,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from opal_tpu.constants import MODE_CODES, SEARCH_SCORE  # noqa: E402
+from opal_tpu.constants import (  # noqa: E402
+    MODE_CODES, SEARCH_ALIGNMENT, SEARCH_SCORE, SEARCH_SCORE_END,
+)
 from opal_tpu.engine.search import Engine, search_database_arrays  # noqa: E402
 from opal_tpu.fasta import read_fasta_file  # noqa: E402
 from opal_tpu.matrices import ScoreMatrix  # noqa: E402
@@ -34,7 +36,10 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--block-size", type=int, default=1024)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--search-type", type=int, default=0, choices=(0, 1),
+                    help="0=score only (reference protocol), 1=score+end")
     args = ap.parse_args()
+    st = SEARCH_SCORE if args.search_type == 0 else SEARCH_SCORE_END
 
     sm = ScoreMatrix.blosum50()
     lut = sm.letter_index()
@@ -62,14 +67,14 @@ def main():
             mode = MODE_CODES[mode_name]
             search_database_arrays(
                 query, ddb, 3, 1, sm.matrix, mode=mode,
-                search_type=SEARCH_SCORE, engine=engine,
+                search_type=st, engine=engine,
             )  # warm-up/compile
             times = []
             for _ in range(args.repeats):
                 t0 = time.perf_counter()
                 search_database_arrays(
                     query, ddb, 3, 1, sm.matrix, mode=mode,
-                    search_type=SEARCH_SCORE, engine=engine,
+                    search_type=st, engine=engine,
                 )
                 times.append(time.perf_counter() - t0)
             best = min(times)
