@@ -276,7 +276,26 @@ def _kernel_body(
             qp_ref[:], onehot, preferred_element_type=jnp.float32
         )  # [Q_pad, B] f32
 
-    def column(tt, _, snap=True):
+    # [1,B] tracker rows updated every column are carried through the
+    # column loop as register values: a per-column sub-tile store into the
+    # [16,B] tracker scratch is a read-modify-write measured at ~15-20% of
+    # the whole column's cost; carrying them writes VMEM once per chunk.
+    if lean_sw:
+        carried = []
+    elif sw:
+        carried = [TR_BEST, TR_BEST_R, TR_BEST_C]
+    elif mode == MODE_NW:
+        carried = [TR_NW]
+    elif mode == MODE_HW:
+        carried = [TR_BEST] + ([TR_BEST_C] if track_end else [])
+    else:  # OV
+        carried = [TR_BEST] + (
+            [TR_BEST_C, TR_OV_PLRM] if track_end else [TR_OV_CMAX])
+    if with_flags:
+        carried += [TR_ULHP] if sw else [TR_MIN_E, TR_MIN_F, TR_MAX_H]
+    cpos = {r: j for j, r in enumerate(carried)}
+
+    def column(tt, carry, snap=True):
         t = chunk_t0 + tt
         Pp = compute_profile(tt)  # P + Ge
 
@@ -315,8 +334,8 @@ def _kernel_body(
         h_ref[:] = Hnew
         e_ref[:] = Enew
 
-        # ---- trackers ----
-        tr = tr_ref[:]
+        # ---- trackers (carried [1,B] rows; see `carried` above) ----
+        cv = list(carry)
         if lean_sw:
             # padding is algebraic (PAD_LETTER profile): no masks, no reduce
             m_ref[:] = jnp.maximum(m_ref[:], Hnew)
@@ -328,25 +347,24 @@ def _kernel_body(
             # below it for go >= 1), so pad rows never raise colmax; a go==0
             # tie resolves to the smaller (real) row via the min-argmax.
             colmax = jnp.max(Hu, axis=0, keepdims=True)  # [1, B]
-            improved = valid & (colmax > tr[TR_BEST : TR_BEST + 1])
-            tr_ref[pl.ds(TR_BEST, 1), :] = jnp.where(
-                improved, colmax, tr[TR_BEST : TR_BEST + 1]
-            )
+            best = cv[cpos[TR_BEST]]
+            improved = valid & (colmax > best)
+            cv[cpos[TR_BEST]] = jnp.where(improved, colmax, best)
             cand = jnp.where(Hu == colmax, row_f, float(Q_pad))
             argrow = jnp.min(cand, axis=0, keepdims=True)
-            tr_ref[pl.ds(TR_BEST_R, 1), :] = jnp.where(
-                improved, argrow, tr[TR_BEST_R : TR_BEST_R + 1]
+            cv[cpos[TR_BEST_R]] = jnp.where(
+                improved, argrow, cv[cpos[TR_BEST_R]]
             )
-            tr_ref[pl.ds(TR_BEST_C, 1), :] = jnp.where(
-                improved, t.astype(f32), tr[TR_BEST_C : TR_BEST_C + 1]
+            cv[cpos[TR_BEST_C]] = jnp.where(
+                improved, t.astype(f32), cv[cpos[TR_BEST_C]]
             )
         else:
             valid = t < lengths          # [1, B]
             is_end = t == lengths - 1    # [1, B]
             lastrow = Hnew[Q - 1 : Q, :]  # [1, B], ramped by ramp[Q-1]
             if mode == MODE_NW:
-                tr_ref[pl.ds(TR_NW, 1), :] = jnp.where(
-                    is_end, lastrow, tr[TR_NW : TR_NW + 1]
+                cv[cpos[TR_NW]] = jnp.where(
+                    is_end, lastrow, cv[cpos[TR_NW]]
                 )
             if mode == MODE_OV and snap:
                 if track_end:
@@ -355,9 +373,8 @@ def _kernel_body(
                     # the last-row max BEFORE this column's update
                     # (reference: prevMaxLastRowH, src/opal.cpp:746,886-903)
                     m_ref[:] = jnp.where(is_end, Hnew, m_ref[:])
-                    tr_ref[pl.ds(TR_OV_PLRM, 1), :] = jnp.where(
-                        is_end, tr[TR_BEST : TR_BEST + 1],
-                        tr[TR_OV_PLRM : TR_OV_PLRM + 1],
+                    cv[cpos[TR_OV_PLRM]] = jnp.where(
+                        is_end, cv[cpos[TR_BEST]], cv[cpos[TR_OV_PLRM]]
                     )
                 else:
                     # score-only: snapshot just the column max (pad rows
@@ -366,18 +383,16 @@ def _kernel_body(
                         jnp.where(row_valid, Hnew - ramp, NEG),
                         axis=0, keepdims=True,
                     )
-                    tr_ref[pl.ds(TR_OV_CMAX, 1), :] = jnp.where(
-                        is_end, colmax_u, tr[TR_OV_CMAX : TR_OV_CMAX + 1]
+                    cv[cpos[TR_OV_CMAX]] = jnp.where(
+                        is_end, colmax_u, cv[cpos[TR_OV_CMAX]]
                     )
             if mode in (MODE_HW, MODE_OV):
-                lr_improved = valid & (lastrow > tr[TR_BEST : TR_BEST + 1])
-                tr_ref[pl.ds(TR_BEST, 1), :] = jnp.where(
-                    lr_improved, lastrow, tr[TR_BEST : TR_BEST + 1]
-                )
+                best = cv[cpos[TR_BEST]]
+                lr_improved = valid & (lastrow > best)
+                cv[cpos[TR_BEST]] = jnp.where(lr_improved, lastrow, best)
                 if track_end:
-                    tr_ref[pl.ds(TR_BEST_C, 1), :] = jnp.where(
-                        lr_improved, t.astype(f32),
-                        tr[TR_BEST_C : TR_BEST_C + 1],
+                    cv[cpos[TR_BEST_C]] = jnp.where(
+                        lr_improved, t.astype(f32), cv[cpos[TR_BEST_C]]
                     )
 
         if with_flags:
@@ -388,37 +403,43 @@ def _kernel_body(
                 ulhp_max = jnp.max(
                     jnp.where(vmask, diag - ramp, NEG), axis=0, keepdims=True
                 )
-                tr_ref[pl.ds(TR_ULHP, 1), :] = jnp.maximum(
-                    tr[TR_ULHP : TR_ULHP + 1], ulhp_max
-                )
+                cv[cpos[TR_ULHP]] = jnp.maximum(cv[cpos[TR_ULHP]], ulhp_max)
             else:
-                tr_ref[pl.ds(TR_MIN_E, 1), :] = jnp.minimum(
-                    tr[TR_MIN_E : TR_MIN_E + 1],
+                cv[cpos[TR_MIN_E]] = jnp.minimum(
+                    cv[cpos[TR_MIN_E]],
                     jnp.min(jnp.where(vmask, Enew - ramp, 0.0), axis=0,
                             keepdims=True),
                 )
-                tr_ref[pl.ds(TR_MIN_F, 1), :] = jnp.minimum(
-                    tr[TR_MIN_F : TR_MIN_F + 1],
+                cv[cpos[TR_MIN_F]] = jnp.minimum(
+                    cv[cpos[TR_MIN_F]],
                     jnp.min(jnp.where(vmask, X - ramp, 0.0), axis=0,
                             keepdims=True),
                 )
-                tr_ref[pl.ds(TR_MAX_H, 1), :] = jnp.maximum(
-                    tr[TR_MAX_H : TR_MAX_H + 1],
+                cv[cpos[TR_MAX_H]] = jnp.maximum(
+                    cv[cpos[TR_MAX_H]],
                     jnp.max(jnp.where(vmask, Hnew - ramp, NEG), axis=0,
                             keepdims=True),
                 )
-        return 0
+        return tuple(cv)
+
+    init = tuple(tr_ref[r : r + 1, :] for r in carried)
+
+    def writeback(carry):
+        for j, r in enumerate(carried):
+            tr_ref[pl.ds(r, 1), :] = carry[j]
 
     if chunk_has_end is None:
-        jax.lax.fori_loop(0, TC, column, 0)
+        writeback(jax.lax.fori_loop(0, TC, column, init))
     else:
         @pl.when(chunk_has_end)
         def _loop_snap():
-            jax.lax.fori_loop(0, TC, lambda tt, c: column(tt, c, True), 0)
+            writeback(jax.lax.fori_loop(
+                0, TC, lambda tt, c: column(tt, c, True), init))
 
         @pl.when(jnp.logical_not(chunk_has_end))
         def _loop_lean():
-            jax.lax.fori_loop(0, TC, lambda tt, c: column(tt, c, False), 0)
+            writeback(jax.lax.fori_loop(
+                0, TC, lambda tt, c: column(tt, c, False), init))
 
     @pl.when(is_last())
     def _emit():
