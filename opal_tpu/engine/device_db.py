@@ -44,6 +44,7 @@ class DeviceDatabase:
         self.total_residues = int(sum(len(s) for s in db))
         self.max_len = max((len(s) for s in db), default=0)
         self._flat = None    # lazy ragged chunk stream (pallas fast path)
+        self._flat_sharded = None  # lazy per-device streams (pallas + mesh)
         self._groups = None  # lazy [G, T, B] bucket stacks (XLA / sharded)
         self._t_quantum = t_quantum
 
@@ -101,12 +102,10 @@ class DeviceDatabase:
         step = max(floor, (1 << (int(n).bit_length() - 1)) // frac)
         return -(-n // step) * step
 
-    def _build_stream(self, blocks, c_pad, nb_pad):
-        """Build one uploaded (meta, letters, lengths) chunk stream for
-        `blocks` (meta block indices are positions within `blocks`), padded
-        with inert chunks to exactly (c_pad, nb_pad)."""
-        import jax
-
+    def _build_stream_np(self, blocks, c_pad, nb_pad):
+        """Host-side (meta[5, C], letters[C, TC, B], lengths[NB, 1, B])
+        chunk stream for `blocks` (meta block indices are positions within
+        `blocks`), padded with inert chunks to exactly (c_pad, nb_pad)."""
         from .pallas_kernels import T_CHUNK
 
         parts, metas = [], []
@@ -138,6 +137,13 @@ class DeviceDatabase:
         # [5, C] layout: scalar-prefetch SMEM pads the minor dim to a
         # full lane stripe, so the minor dim must be the long one.
         meta = np.ascontiguousarray(meta.T)
+        return meta, letters, lengths
+
+    def _build_stream(self, blocks, c_pad, nb_pad):
+        """_build_stream_np, uploaded to the default device."""
+        import jax
+
+        meta, letters, lengths = self._build_stream_np(blocks, c_pad, nb_pad)
         return (
             jax.device_put(meta),
             jax.device_put(letters),
@@ -169,6 +175,64 @@ class DeviceDatabase:
             c_pad = self._quantize(max(c_real, 1))
             self._flat = self._build_stream(self.blocks, c_pad, nb_pad)
         return self._flat
+
+    def flat_sharded(self):
+        """Per-device ragged chunk streams for the mesh-sharded pallas path.
+
+        The DB's blocks are partitioned into one contiguous group per mesh
+        device (balanced by chunk mass), each group is built as its own
+        flat()-style stream padded to a COMMON (c_pad, nb_pad), and the
+        streams are stacked along a leading device axis sharded over the
+        mesh: meta [D, 5, C], letters [D, C, TC, B], lengths [D, NB, 1, B].
+        A shard_map-wrapped ragged kernel then runs the unmodified
+        single-chip pallas program per device — data parallelism over the
+        database with zero cross-device traffic in the hot loop (the TPU
+        analog of the reference's single-threaded conveyor, scaled out;
+        SURVEY.md §2 item 5). Returns (per-device block lists, meta,
+        letters, lengths)."""
+        if self._flat_sharded is not None:
+            return self._flat_sharded
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.shard import DB_AXIS
+        from .pallas_kernels import T_CHUNK
+
+        D = int(np.prod(self.mesh.devices.shape))
+        nch = np.array(
+            [blk.letters.shape[0] // T_CHUNK for blk in self.blocks],
+            np.int64,
+        )
+        total = int(nch.sum())
+        prefix = np.cumsum(nch)
+        groups, lo = [], 0
+        for j in range(1, D):
+            # first block index where prefix mass reaches j/D of the total;
+            # empty groups are fine (mesh wider than the DB has blocks)
+            c = int(np.searchsorted(prefix, total * j / D, side="left"))
+            c = max(c, lo)
+            groups.append(self.blocks[lo:c])
+            lo = c
+        groups.append(self.blocks[lo:])
+        c_pad = self._quantize(max(
+            (sum(blk.letters.shape[0] // T_CHUNK for blk in g)
+             for g in groups), default=1) or 1)
+        nb_pad = self._quantize(
+            max(max((len(g) for g in groups), default=0) + 1, 2))
+        metas, letters, lengths = [], [], []
+        for g in groups:
+            m, l, n = self._build_stream_np(g, c_pad, nb_pad)
+            metas.append(m)
+            letters.append(l)
+            lengths.append(n)
+        sh = lambda: NamedSharding(self.mesh, PartitionSpec(DB_AXIS))
+        self._flat_sharded = (
+            groups,
+            jax.device_put(np.stack(metas), sh()),
+            jax.device_put(np.stack(letters), sh()),
+            jax.device_put(np.stack(lengths), sh()),
+        )
+        return self._flat_sharded
 
     def flat_parts(self, k: int):
         """The flat() stream split into k equal-shaped parts (contiguous

@@ -8,10 +8,12 @@ round trip per search, zero inter-bucket dispatch gaps — critical when
 host<->device latency is high (remote/tunneled devices) and still optimal
 locally.
 
-Mesh-sharded databases use the grouped per-bucket path (GSPMD partitions
-the lane axis); configs the kernels don't cover (queries beyond the
-narrowest lane width's VMEM ceiling,
-gap_ext > gap_open, oversized alphabets) fall back to the XLA path.
+Mesh-sharded databases run the SAME ragged kernel per device under
+shard_map (one chunk stream per device, leading device axis sharded on
+'db'; see DeviceDatabase.flat_sharded) — the hot loop never crosses
+devices. Configs the kernels don't cover (queries beyond the narrowest
+lane width's VMEM ceiling, gap_ext > gap_open, oversized alphabets) fall
+back to the XLA path.
 """
 from __future__ import annotations
 
@@ -31,7 +33,7 @@ class PallasBackend:
     def __init__(self, interpret: bool = False):
         self.interpret = interpret
         self._fallback = XlaBackend()
-        self._mega_cache: dict = {}
+        self._sharded_cache: dict = {}
 
     def supports(self, Q: int, gap_open: int, gap_ext: int,
                  B: int = 1024, A: int = 0, profile_absmax: int = 0,
@@ -88,23 +90,45 @@ class PallasBackend:
         return ("pallas", Q, jax.device_put(jnp.asarray(qp, jnp.bfloat16)),
                 np.asarray(qprofile))
 
-    def _mega(self, mode, search_type, Q, go, ge, B, with_flags):
-        """Grouped path: all bucket pallas_calls fused into one jit."""
-        import jax
+    def _sharded(self, mode, search_type, Q, go, ge, B, with_flags,
+                 out_i16, mesh):
+        """Mesh path: the ragged single-launch kernel wrapped in shard_map.
 
-        key = (mode, search_type, Q, go, ge, B, with_flags)
-        fn = self._mega_cache.get(key)
+        Each device runs the UNMODIFIED single-chip pallas program on its
+        own chunk stream (DeviceDatabase.flat_sharded lays one stream per
+        device along a leading axis sharded on 'db'); the query profile is
+        replicated. No collectives in the hot loop — per-lane tracker
+        outputs come back sharded and merge on host. This scales the
+        105-GCUPS kernel rather than the XLA twin (the reference's entire
+        value is its kernel, src/opal.cpp:164-470)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.shard import DB_AXIS
+
+        key = (mode, search_type, Q, go, ge, B, with_flags, out_i16, mesh)
+        fn = self._sharded_cache.get(key)
         if fn is None:
-            raw = pk.build_pallas_score_fn_raw(
+            raw = pk.build_pallas_ragged_fn_raw(
                 mode, search_type, Q, go, ge, B=B,
                 with_flags=with_flags, interpret=self.interpret,
+                out_i16=out_i16,
             )
-            fn = jax.jit(
-                lambda qp, lts, lns: [
-                    raw(qp, l, n) for l, n in zip(lts, lns)
-                ]
-            )
-            self._mega_cache[key] = fn
+
+            def local(meta, qp, letters, lengths):
+                # local shards carry a leading device axis of size 1
+                return raw(meta[0], qp, letters[0], lengths[0])[None]
+
+            fn = jax.jit(jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(DB_AXIS), P(), P(DB_AXIS), P(DB_AXIS)),
+                out_specs=P(DB_AXIS),
+                # pallas_call's out_shape carries no varying-mesh-axes
+                # annotation; the output is trivially device-varying
+                check_vma=False,
+            ))
+            self._sharded_cache[key] = fn
         return fn
 
     def _out_i16_ok(self, Q, absmax, gap_open, gap_ext, search_type,
@@ -143,16 +167,17 @@ class PallasBackend:
             xq = self._fallback.prepare_query(qprofile_np, gap_open, gap_ext)
             return ("xla", self._fallback.dispatch_many(
                 xq, ddb, gap_open, gap_ext, mode, search_type, with_flags))
-        if ddb.mesh is not None:
-            # sharded lanes: grouped per-bucket calls under GSPMD
-            fn = self._mega(mode, search_type, Q, int(gap_open),
-                            int(gap_ext), B, with_flags)
-            out = fn(qp_dev, [g.letters for g in ddb.groups],
-                     [g.lengths for g in ddb.groups])
-            return ("grouped", out)
         absmax = int(np.abs(qprofile_np).max()) if Q else 0
         out_i16 = self._out_i16_ok(Q, absmax, int(gap_open), int(gap_ext),
                                    search_type, with_flags, ddb.max_len)
+        if ddb.mesh is not None:
+            # per-device ragged streams under shard_map (see _sharded)
+            fn = self._sharded(mode, search_type, Q, int(gap_open),
+                               int(gap_ext), B, with_flags, out_i16,
+                               ddb.mesh)
+            dev_blocks, meta, letters, lengths = ddb.flat_sharded()
+            out = fn(meta, qp_dev, letters, lengths)
+            return ("sharded", (dev_blocks, out))
         fn = pk.build_pallas_ragged_fn(
             mode, search_type, Q, int(gap_open), int(gap_ext), B=B,
             with_flags=with_flags, interpret=self.interpret,
@@ -265,6 +290,9 @@ class PallasBackend:
         if kind == "ragged" and payload is not None:
             return (kind, [(blocks, np.asarray(out))
                            for blocks, out in payload])
+        if kind == "sharded":
+            dev_blocks, out = payload
+            return (kind, (dev_blocks, np.asarray(out)))
         return (kind, jax.device_get(payload) if payload is not None
                 else None)
 
@@ -289,11 +317,15 @@ class PallasBackend:
                     result.append(
                         (blk, {k: v[: blk.n] for k, v in out.items()}))
             return result
-        for grp, tr_g in zip(ddb.groups, payload):
-            for g, blk in enumerate(grp.blocks):
+        assert kind == "sharded", kind
+        dev_blocks, tr = payload
+        tr = tr.astype(np.int32, copy=False)
+        for d, blocks in enumerate(dev_blocks):
+            for bi, blk in enumerate(blocks):
                 out = pk.finalize_trackers(
-                    np.asarray(tr_g[g]), mode, search_type, Q,
+                    tr[d, bi], mode, search_type, Q,
                     np.asarray(blk.lengths), with_flags,
                 )
-                result.append((blk, {k: v[: blk.n] for k, v in out.items()}))
+                result.append(
+                    (blk, {k: v[: blk.n] for k, v in out.items()}))
         return result

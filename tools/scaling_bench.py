@@ -51,12 +51,18 @@ def main():
     query = rng.integers(0, 20, size=args.query_len, dtype=np.uint8)
 
     all_devices = jax.devices()
+    on_tpu = jax.default_backend() == "tpu"
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(all_devices)]
     for n in counts:
         mesh = db_mesh(all_devices[:n]) if n > 1 else None
+        # The pallas ragged kernel runs per-device under shard_map (whole
+        # blocks per device), so block_size stays constant across mesh
+        # sizes; the XLA path (CPU simulation) shards lanes within a block
+        # and needs B divisible by n.
         engine = Engine(
-            backend="xla" if (mesh or jax.default_backend() != "tpu") else "auto",
-            block_size=args.block_size * max(1, n),
+            backend="pallas" if on_tpu else "xla",
+            block_size=(args.block_size if on_tpu
+                        else args.block_size * max(1, n)),
             mesh=mesh,
         )
         ddb = engine.upload(db)
