@@ -3,8 +3,8 @@
 The north-star deployment (SURVEY.md §2 item 5, §5): the protein database is
 sharded across hosts of a TPU pod slice over DCN, the query is broadcast to
 every host, each host searches its shard on its local chips (lane-sharded
-over the local mesh), and per-sequence scores are merged with an all-gather
-into one globally-ranked result set.
+over the local mesh, pallas kernels under shard_map), and per-sequence
+results are merged with an all-gather into one globally-ranked result set.
 
 Usage (one process per host, standard JAX multi-process launch):
 
@@ -13,12 +13,16 @@ Usage (one process per host, standard JAX multi-process launch):
     from opal_tpu.parallel.multihost import MultiHostSearch
 
     mh = MultiHostSearch(db_paths=my_shard_paths, matrix=sm)
-    ranked = mh.search(query)             # identical on every host
+    ranked = mh.ranked(query)             # identical on every host
 
 Each host reads only its own FASTA shard (`shard_for_process` splits a path
-list round-robin by process index). The merge uses a fixed-width score
-all-gather over the global device mesh, so the collective cost is
-O(total_sequences) int32 — negligible next to the DP.
+list round-robin by process index). The merge all-gathers fixed-width
+per-sequence RECORDS — score alone for score-only searches, (score, end_q,
+end_t) for end-location searches (the full result record of the reference's
+``OpalSearchResult``, src/opal.h:47-74) — so the collective cost is
+O(total_sequences) int32, negligible next to the DP. Full-alignment global
+top-k (`search_aligned`) adds one more fixed-width gather of the winners'
+op strings: each host reconstructs alignments only for its own winners.
 """
 from __future__ import annotations
 
@@ -26,9 +30,11 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from ..constants import MODE_SW, SEARCH_SCORE
+from ..constants import MODE_SW, SEARCH_SCORE, SEARCH_SCORE_END
 from ..engine.search import Engine, search_database_arrays
 from ..fasta import read_fasta_file
+
+SCORE_PAD = np.iinfo(np.int32).min  # padding rows sort last
 
 
 def shard_for_process(paths: Sequence[str], process_index: int,
@@ -37,16 +43,17 @@ def shard_for_process(paths: Sequence[str], process_index: int,
     return [p for i, p in enumerate(paths) if i % process_count == process_index]
 
 
-def allgather_scores(local_scores: np.ndarray, max_len: int) -> np.ndarray:
-    """All-gather per-host score vectors (padded to max_len) across
-    processes; returns [process_count, max_len]."""
+def allgather_records(local: np.ndarray, max_len: int) -> np.ndarray:
+    """All-gather per-host [n, k] int32 record tables (padded to max_len
+    rows) across processes; returns [process_count, max_len, k]."""
     import jax
     from jax.experimental import multihost_utils
 
-    padded = np.full(max_len, np.iinfo(np.int32).min, np.int32)
-    padded[: len(local_scores)] = local_scores
+    k = local.shape[1]
+    padded = np.full((max_len, k), SCORE_PAD, np.int32)
+    padded[: len(local)] = local
     gathered = multihost_utils.process_allgather(padded)
-    return np.asarray(gathered).reshape(jax.process_count(), max_len)
+    return np.asarray(gathered).reshape(jax.process_count(), max_len, k)
 
 
 class MultiHostSearch:
@@ -85,32 +92,152 @@ class MultiHostSearch:
             self.max_local = len(self.db)
             self.shard_sizes = [len(self.db)]
 
+    def _local_search(self, query, mode, search_type):
+        """[n_local, k] int32 records: score (+ end_q, end_t for x1/x2)."""
+        cols = (["score", "end_q", "end_t"]
+                if search_type != SEARCH_SCORE else ["score"])
+        if self.ddb is None:
+            return np.zeros((0, len(cols)), np.int32)
+        out = search_database_arrays(
+            query, self.ddb, self.gap_open, self.gap_ext,
+            self._matrix_array, mode=mode, search_type=search_type,
+            engine=self.engine,
+        )
+        return np.stack(
+            [out[c].astype(np.int32) for c in cols], axis=1
+        )
+
     def search(self, query, mode: int = MODE_SW,
                search_type: int = SEARCH_SCORE):
-        """Search every host's shard; returns (shard_sizes, scores-by-shard):
-        a [process_count, max_local] int32 array, identical on all hosts."""
-        if self.ddb is not None:
-            out = search_database_arrays(
-                query, self.ddb, self.gap_open, self.gap_ext,
-                self._matrix_array, mode=mode, search_type=search_type,
-                engine=self.engine,
-            )
-            local = out["score"].astype(np.int32)
-        else:
-            local = np.zeros(0, np.int32)
+        """Search every host's shard; returns (shard_sizes, records):
+        records is [process_count, max_local, k] int32 (k = 1 for
+        score-only, 3 for score+ends), identical on all hosts; padding
+        rows carry SCORE_PAD."""
+        local = self._local_search(query, mode, search_type)
         if self.process_count == 1:
-            full = np.full((1, self.max_local), np.iinfo(np.int32).min,
+            full = np.full((1, self.max_local, local.shape[1]), SCORE_PAD,
                            np.int32)
             full[0, : len(local)] = local
             return self.shard_sizes, full
-        return self.shard_sizes, allgather_scores(local, self.max_local)
+        return self.shard_sizes, allgather_records(local, self.max_local)
 
-    def ranked(self, query, mode: int = MODE_SW, top_k: int = 0):
-        """Globally-ranked (score, shard, index-in-shard) triples."""
-        sizes, table = self.search(query, mode=mode)
+    def _rank(self, table):
+        """(score desc, shard asc, index asc) over the gathered table via
+        one vectorized lexsort — milliseconds at 541k sequences (the
+        Python tuple sort this replaces took seconds)."""
+        P, M = table.shape[:2]
+        scores = table[:, :, 0].reshape(-1).astype(np.int64)
+        shard = np.repeat(np.arange(P, dtype=np.int64), M)
+        idx = np.tile(np.arange(M, dtype=np.int64), P)
+        valid = idx < np.asarray(self.shard_sizes, np.int64)[shard]
+        order = np.lexsort((idx, shard, -scores))
+        return order[valid[order]], scores, shard, idx
+
+    def ranked(self, query, mode: int = MODE_SW, top_k: int = 0,
+               search_type: int = SEARCH_SCORE):
+        """Globally-ranked records, identical on every host. Each row is
+        (score, shard, index-in-shard) — plus (end_q, end_t) when
+        search_type tracks ends. Returns a list of tuples."""
+        sizes, table = self.search(query, mode=mode,
+                                   search_type=search_type)
+        order, scores, shard, idx = self._rank(table)
+        if top_k:
+            order = order[:top_k]
+        ends = table.reshape(-1, table.shape[2])[order]
         rows = []
-        for s, n in enumerate(sizes):
-            for i in range(n):
-                rows.append((int(table[s, i]), s, i))
-        rows.sort(key=lambda r: (-r[0], r[1], r[2]))
-        return rows[:top_k] if top_k else rows
+        for j, o in enumerate(order.tolist()):
+            base = (int(scores[o]), int(shard[o]), int(idx[o]))
+            if table.shape[2] == 3:
+                base += (int(ends[j, 1]), int(ends[j, 2]))
+            rows.append(base)
+        return rows
+
+    def search_aligned(self, query, mode: int = MODE_SW, top_k: int = 10):
+        """Global top-k full-alignment search (the multihost analog of
+        SEARCH_ALIGNMENT + align_top_k): one score+end pass over every
+        shard, a global ranking, then each host reconstructs alignment
+        paths ONLY for winners in its own shard (reference per-sequence
+        record: score, start/end locations, ops; src/opal.h:47-74). The
+        winners' op strings merge with one fixed-width all-gather.
+
+        Returns a list of dicts (identical on every host), ranked:
+        {score, shard, index, end_q, end_t, start_q, start_t, ops} with
+        ops a uint8 numpy array (None if not reconstructible / SW 0)."""
+        from ..traceback import AlignmentError, align_pair_reverse_trick
+
+        query = np.asarray(query, dtype=np.uint8)
+        sizes, table = self.search(query, mode=mode,
+                                   search_type=SEARCH_SCORE_END)
+        order, scores, shard, idx = self._rank(table)
+        order = order[:top_k]
+        flat = table.reshape(-1, 3)
+        winners = [
+            dict(score=int(scores[o]), shard=int(shard[o]),
+                 index=int(idx[o]), end_q=int(flat[o, 1]),
+                 end_t=int(flat[o, 2]))
+            for o in order.tolist()
+        ]
+
+        # local alignment pass: only this host's winners
+        local_ops = {}
+        for j, w in enumerate(winners):
+            if w["shard"] != self.process_index:
+                continue
+            if mode == MODE_SW and w["score"] == 0:
+                # reference: src/opal.cpp:1479-1483 (no path for score 0)
+                local_ops[j] = (-1, -1, None)
+                continue
+            try:
+                sq, st, ops = align_pair_reverse_trick(
+                    query, self.db[w["index"]], self.gap_open, self.gap_ext,
+                    self._matrix_array, w["score"], w["end_q"], w["end_t"],
+                    mode,
+                )
+                local_ops[j] = (sq, st, np.asarray(ops, np.uint8))
+            except AlignmentError:
+                local_ops[j] = (-1, -1, None)
+
+        if self.process_count > 1:
+            from jax.experimental import multihost_utils
+
+            # fixed gather width: global max op length (one scalar gather)
+            local_max = max(
+                (0 if o is None else len(o) for _, _, o in local_ops.values()),
+                default=0,
+            )
+            all_max = np.asarray(multihost_utils.process_allgather(
+                np.array([local_max], np.int32)))
+            width = int(all_max.max())
+            # rows: [start_q, start_t, op_len, ops...]; -2 marks "not mine"
+            buf = np.full((len(winners), 3 + width), -2, np.int32)
+            for j, (sq, st, ops) in local_ops.items():
+                n = 0 if ops is None else len(ops)
+                buf[j, :3] = (sq, st, n if ops is not None else -1)
+                if n:
+                    buf[j, 3 : 3 + n] = ops
+            gathered = np.asarray(
+                multihost_utils.process_allgather(buf)
+            ).reshape(self.process_count, len(winners), 3 + width)
+            merged = gathered[np.asarray([w["shard"] for w in winners]),
+                              np.arange(len(winners))]
+        else:
+            width = max(
+                (0 if o is None else len(o) for _, _, o in local_ops.values()),
+                default=0,
+            )
+            merged = np.full((len(winners), 3 + width), -2, np.int32)
+            for j, (sq, st, ops) in local_ops.items():
+                n = 0 if ops is None else len(ops)
+                merged[j, :3] = (sq, st, n if ops is not None else -1)
+                if n:
+                    merged[j, 3 : 3 + n] = ops
+
+        for j, w in enumerate(winners):
+            sq, st, n = (int(merged[j, 0]), int(merged[j, 1]),
+                         int(merged[j, 2]))
+            w["start_q"], w["start_t"] = sq, st
+            w["ops"] = (merged[j, 3 : 3 + n].astype(np.uint8)
+                        if n >= 0 else None)
+            if mode == MODE_SW and w["score"] == 0:
+                w["end_q"] = w["end_t"] = -1
+        return winners

@@ -37,9 +37,15 @@ lut = sm.letter_index()
 from opal_tpu.fasta import read_fasta_file
 qs, _ = read_fasta_file(sys.argv[4], lut)
 ranked = mh.ranked(qs[0], top_k=10)
+from opal_tpu.constants import SEARCH_SCORE_END
+ranked_ends = mh.ranked(qs[0], top_k=10, search_type=SEARCH_SCORE_END)
+aligned = mh.search_aligned(qs[0], top_k=5)
+for w in aligned:
+    w["ops"] = None if w["ops"] is None else w["ops"].tolist()
 out = sys.argv[6] + f".{sys.argv[2]}"
 with open(out, "w") as f:
-    json.dump({"ranked": ranked, "sizes": mh.shard_sizes}, f)
+    json.dump({"ranked": ranked, "ranked_ends": ranked_ends,
+               "aligned": aligned, "sizes": mh.shard_sizes}, f)
 """
 
 
@@ -100,10 +106,15 @@ def test_two_process_multihost_ranking(tmp_path):
         assert p.returncode == 0, se.decode()[-2000:]
 
     results = [json.load(open(out_base + f".{i}")) for i in range(2)]
-    # both hosts computed the identical global ranking
+    # both hosts computed identical global results (ranking + alignments)
     assert results[0]["ranked"] == results[1]["ranked"]
+    assert results[0]["ranked_ends"] == results[1]["ranked_ends"]
+    assert results[0]["aligned"] == results[1]["aligned"]
 
     # ground truth: single-process search over the same sharded order
+    from opal_tpu.constants import SEARCH_ALIGNMENT, SEARCH_SCORE_END
+    from opal_tpu.engine.search import search_database
+
     lut = sm.letter_index()
     shard0 = []
     shard1 = []
@@ -113,12 +124,31 @@ def test_two_process_multihost_ranking(tmp_path):
     qs, _ = read_fasta_file(str(qpath), lut)
     eng = Engine(backend="xla", block_size=8)
     want = []
+    want_full = {}
     for s, shard in enumerate((shard0, shard1)):
-        out = search_database_arrays(qs[0], shard, 3, 1, sm.matrix,
-                                     mode=MODE_SW, search_type=SEARCH_SCORE,
-                                     engine=eng)
-        for i, sc in enumerate(out["score"].tolist()):
-            want.append((sc, s, i))
+        res = search_database(qs[0], shard, 3, 1, sm.matrix, mode=MODE_SW,
+                              search_type=SEARCH_ALIGNMENT, engine=eng)
+        for i, r in enumerate(res):
+            want.append((r.score, s, i))
+            want_full[(s, i)] = r
     want.sort(key=lambda r: (-r[0], r[1], r[2]))
     got = [tuple(r) for r in results[0]["ranked"]]
     assert got == want[:10]
+
+    # x1 records carry the exact end locations of a single-process search
+    for sc, s, i, eq, et in results[0]["ranked_ends"]:
+        r = want_full[(s, i)]
+        assert (sc, eq, et) == (
+            r.score, r.end_location_query, r.end_location_target), (s, i)
+
+    # aligned top-5: full records (start/end/ops) match single-process
+    assert [(w["score"], w["shard"], w["index"])
+            for w in results[0]["aligned"]] == want[:5]
+    for w in results[0]["aligned"]:
+        r = want_full[(w["shard"], w["index"])]
+        assert w["end_q"] == r.end_location_query
+        assert w["end_t"] == r.end_location_target
+        assert w["start_q"] == r.start_location_query
+        assert w["start_t"] == r.start_location_target
+        want_ops = None if r.alignment is None else list(r.alignment)
+        assert w["ops"] == want_ops, (w["shard"], w["index"])
