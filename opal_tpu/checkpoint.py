@@ -74,15 +74,41 @@ def _decode_result(row: list) -> SearchResult:
 
 
 class Checkpoint:
-    """Append-only per-chunk result journal (JSON lines)."""
+    """Append-only per-chunk result journal (JSON lines).
+
+    Journal lines are size-capped: a chunk whose encoded record exceeds
+    SIDECAR_BYTES (e.g. a giant -x 2 chunk with inline alignments) is
+    stored as a gzip sidecar file next to the journal, and the journal
+    line carries only {"chunk", "ext", "sha"}. Sidecars are fsynced
+    BEFORE their journal line is appended, so a journal line never
+    references an incomplete sidecar; load verifies the digest. Resume
+    memory stays bounded — sidecar payloads are read lazily per chunk."""
+
+    SIDECAR_BYTES = 4 * 1024 * 1024
 
     def __init__(self, path: str, key: str):
         self.path = path
         self.key = key
-        self._done: dict[int, list] = {}
+        self._done: dict[int, object] = {}  # chunk -> rows | ("ext", f, sha)
         if os.path.exists(path) and os.path.getsize(path):
             with open(path, "r+") as f:
-                header = json.loads(f.readline())
+                first = f.readline()
+                header = None
+                if first.endswith("\n"):
+                    try:
+                        header = json.loads(first)
+                    except json.JSONDecodeError:
+                        header = None
+                if header is None:
+                    # torn/corrupt header: a crash between file creation
+                    # and the (fsynced) header write. No record can follow
+                    # a torn first line, so recreate the journal cleanly.
+                    f.seek(0)
+                    f.truncate(0)
+                    f.write(json.dumps({"v": _V, "key": key}) + "\n")
+                    f.flush()
+                    os.fsync(f.fileno())
+                    return
                 if header.get("key") != key:
                     raise ValueError(
                         f"checkpoint {path} belongs to a different search "
@@ -98,33 +124,74 @@ class Checkpoint:
                         break  # torn tail write from an interrupted run
                     try:
                         rec = json.loads(line)
-                    except json.JSONDecodeError:
-                        break
-                    self._done[int(rec["chunk"])] = rec["q"]
+                        chunk = int(rec["chunk"])
+                        if "ext" in rec:
+                            entry = ("ext", rec["ext"], rec["sha"])
+                        else:
+                            entry = rec["q"]
+                    except (json.JSONDecodeError, KeyError, TypeError,
+                            ValueError):
+                        break  # malformed record == torn tail
+                    self._done[chunk] = entry
                     valid_end = f.tell()
                 # drop any torn tail so later appends stay parseable
                 f.truncate(valid_end)
         else:
             with open(path, "w") as f:
                 f.write(json.dumps({"v": _V, "key": key}) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
 
     def has(self, chunk: int) -> bool:
         return chunk in self._done
+
+    def _rows(self, chunk: int):
+        entry = self._done[chunk]
+        if isinstance(entry, tuple) and entry[0] == "ext":
+            import gzip
+
+            sidecar = os.path.join(
+                os.path.dirname(os.path.abspath(self.path)), entry[1])
+            with open(sidecar, "rb") as f:
+                blob = f.read()
+            if hashlib.sha256(blob).hexdigest() != entry[2]:
+                raise ValueError(
+                    f"checkpoint sidecar {entry[1]} is corrupt "
+                    "(digest mismatch); remove the journal and restart"
+                )
+            return json.loads(gzip.decompress(blob).decode())
+        return entry
 
     def load(self, chunk: int) -> list[list[SearchResult]]:
         """Per-query result lists for a completed chunk."""
         return [
             [_decode_result(row) for row in per_q]
-            for per_q in self._done[chunk]
+            for per_q in self._rows(chunk)
         ]
 
     def save(self, chunk: int, per_query: list[list[SearchResult]]) -> None:
-        rec = {
-            "chunk": chunk,
-            "q": [[_encode_result(r) for r in rs] for rs in per_query],
-        }
+        rows = [[_encode_result(r) for r in rs] for rs in per_query]
+        payload = json.dumps({"chunk": chunk, "q": rows})
+        if len(payload) > self.SIDECAR_BYTES:
+            import gzip
+
+            blob = gzip.compress(
+                json.dumps(rows).encode(), compresslevel=1)
+            name = (os.path.basename(self.path)
+                    + f".chunk{chunk:06d}.json.gz")
+            sidecar = os.path.join(
+                os.path.dirname(os.path.abspath(self.path)), name)
+            with open(sidecar, "wb") as f:
+                f.write(blob)
+                f.flush()
+                os.fsync(f.fileno())
+            sha = hashlib.sha256(blob).hexdigest()
+            payload = json.dumps({"chunk": chunk, "ext": name, "sha": sha})
+            entry = ("ext", name, sha)
+        else:
+            entry = rows
         with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+            f.write(payload + "\n")
             f.flush()
             os.fsync(f.fileno())
-        self._done[chunk] = rec["q"]
+        self._done[chunk] = entry

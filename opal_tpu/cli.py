@@ -32,10 +32,12 @@ from .render import render_alignment, result_line
 from .result import SearchResult
 
 
-def _run_queries(queries, db, args, score_matrix, mode, engine):
+def _run_queries(queries, db, args, score_matrix, mode, engine,
+                 search_type=None):
     """Search the DB chunk with every query; returns per-query result lists.
     SW score-only multi-query batches take the stacked-kernel fast path."""
-    if len(queries) > 1 and args.search_type == SEARCH_SCORE:
+    search_type = args.search_type if search_type is None else search_type
+    if len(queries) > 1 and search_type == SEARCH_SCORE:
         outs = search_database_multi_arrays(
             queries, db, args.gap_open, args.gap_ext, score_matrix.matrix,
             mode=mode, search_type=SEARCH_SCORE, engine=engine,
@@ -52,9 +54,8 @@ def _run_queries(queries, db, args, score_matrix, mode, engine):
     return [
         search_database(
             q, db, args.gap_open, args.gap_ext, score_matrix.matrix,
-            mode=mode, search_type=args.search_type,
+            mode=mode, search_type=search_type,
             overflow_method=OVERFLOW_BUCKETS, engine=engine,
-            align_top_k=args.align_top,
         )
         for q in queries
     ]
@@ -97,8 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "(default ~1 GiB, like the reference)")
     p.add_argument("--align-top", type=int, default=0, metavar="K",
                    help="with -x 2: reconstruct alignment paths only for "
-                   "the K best-scoring sequences (others keep exact score "
-                   "and end locations); 0 = align all")
+                   "the GLOBAL K best-scoring sequences across the whole "
+                   "database (all chunks); other sequences keep exact "
+                   "score and end locations. Per-chunk result lines print "
+                   "ends only; the ranked top-K alignments print after "
+                   "the last chunk. 0 = align all")
     p.add_argument("--all-queries", action="store_true",
                    help="search every sequence in the query file, not just "
                    "the first (batches of SW score searches run as stacked "
@@ -164,6 +168,13 @@ def main(argv=None) -> int:
     if args.chunk_residues:
         read_kw["max_residues"] = args.chunk_residues
 
+    # Global --align-top: score+end every chunk first, then align only the
+    # global top K. Each chunk's local top K is a superset of the global
+    # winners it contributes, so only K sequences per chunk are retained.
+    global_align_top = (args.align_top > 0
+                        and args.search_type == SEARCH_ALIGNMENT)
+    candidates = [[] for _ in queries]  # per query: (global_idx, seq, res)
+
     cpu_time = 0.0
     db_total_residues = 0
     computed_residues = 0  # residues actually searched (not journal-restored)
@@ -198,7 +209,9 @@ def main(argv=None) -> int:
             else:
                 start = time.perf_counter()
                 per_query = _run_queries(
-                    queries, db, args, score_matrix, mode, engine
+                    queries, db, args, score_matrix, mode, engine,
+                    search_type=(1 if global_align_top
+                                 else args.search_type),
                 )
                 cpu_time += time.perf_counter() - start
                 computed_residues += n_res
@@ -208,6 +221,19 @@ def main(argv=None) -> int:
                     ckpt.save(chunk_idx, per_query)
                 print("\nFinished!")
             chunk_idx += 1
+
+            if global_align_top:
+                from .ranking import rank_scores
+                import numpy as np
+
+                base0 = db_total_len - len(db)
+                for k, results in enumerate(per_query):
+                    scores = np.array(
+                        [r.score if r.score_set else -(2**62)
+                         for r in results])
+                    for i in rank_scores(scores, args.align_top).tolist():
+                        candidates[k].append(
+                            (base0 + i, db[i], results[i]))
 
             if not args.silent:
                 base = db_total_len - len(db)
@@ -228,6 +254,48 @@ def main(argv=None) -> int:
                                 end="",
                             )
                             print()
+
+    if global_align_top:
+        from .constants import MODE_SW
+        from .traceback import AlignmentError, align_pair_reverse_trick
+
+        start = time.perf_counter()
+        sections = []
+        for k, cand in enumerate(candidates):
+            cand.sort(key=lambda c: (-c[2].score, c[0]))
+            winners = cand[: args.align_top]
+            lines = []
+            for gi, t, r in winners:
+                if not (mode == MODE_SW and r.score == 0):
+                    try:
+                        sq, st_, ops = align_pair_reverse_trick(
+                            queries[k], t, args.gap_open, args.gap_ext,
+                            score_matrix.matrix, r.score,
+                            r.end_location_query, r.end_location_target,
+                            mode,
+                        )
+                        r.start_location_query = sq
+                        r.start_location_target = st_
+                        r.alignment = ops
+                        r.alignment_length = len(ops)
+                    except AlignmentError:
+                        pass  # keep exact score/ends, omit the path
+                lines.append((gi, t, r))
+            sections.append(lines)
+        cpu_time += time.perf_counter() - start
+        if not args.silent:
+            for k, lines in enumerate(sections):
+                hdr = (f"\nGlobal top {len(lines)} alignments"
+                       + (f" (query #{k})" if args.all_queries else "")
+                       + ":")
+                print(hdr)
+                for gi, t, r in lines:
+                    print(result_line(gi, r))
+                    if r.alignment is not None:
+                        print(render_alignment(
+                            queries[k], t, r, score_matrix.alphabet),
+                            end="")
+                        print()
 
     print(f"\nCpu time of searching: {cpu_time:.2f}")
     if args.search_type != SEARCH_ALIGNMENT:

@@ -22,6 +22,43 @@ import numpy as np
 DEFAULT_MAX_RESIDUES = 1073741824  # 1 GiB, reference: src/opal_aligner.cpp:286
 
 
+class PushbackReader:
+    """Binary line reader with one-line pushback.
+
+    The chunked reader's only "rewind" is un-reading the line that
+    overflowed the residue budget. On a GzipFile a backward seek
+    re-decompresses from the START of the file, making a multi-chunk
+    gzipped scan O(n_chunks^2); buffering the line on the Python side
+    makes every input O(n) and also drops the per-line tell() overhead."""
+
+    def __init__(self, f: BinaryIO):
+        self._f = f
+        self._pending: bytes | None = None
+
+    def readline(self) -> bytes:
+        if self._pending is not None:
+            line, self._pending = self._pending, None
+            return line
+        return self._f.readline()
+
+    def unread(self, line: bytes) -> None:
+        assert self._pending is None
+        self._pending = line
+
+    def read(self, *a):
+        assert self._pending is None
+        return self._f.read(*a)
+
+    def close(self):
+        return self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return self._f.__exit__(*exc)
+
+
 def read_fasta_sequences(
     f: BinaryIO,
     letter_idx: np.ndarray,
@@ -56,8 +93,9 @@ def read_fasta_sequences(
         names.append(cur_name)
         completed_residues += arr.size
 
+    can_unread = hasattr(f, "unread")
     while True:
-        line_start = f.tell()
+        line_start = None if can_unread else f.tell()
         line = f.readline()
         if not line:
             break
@@ -73,7 +111,13 @@ def read_fasta_sequences(
         if not in_sequence:
             # About to start a new sequence: enforce the residue budget.
             if completed_residues > max_residues:
-                f.seek(line_start)
+                # Un-read (or seek back to) the overflowing line so a
+                # subsequent call resumes there. unread is O(1) on any
+                # stream; the seek fallback is O(file) on gzip.
+                if can_unread:
+                    f.unread(line)
+                else:
+                    f.seek(line_start)
                 eof = False
                 # The header of the rewound sequence was consumed; rewinding to
                 # the residue line matches the reference, which also re-enters
@@ -100,8 +144,8 @@ def open_fasta(path: str):
     if magic == b"\x1f\x8b":
         import gzip
 
-        return gzip.open(path, "rb")
-    return open(path, "rb")
+        return PushbackReader(gzip.open(path, "rb"))
+    return PushbackReader(open(path, "rb"))
 
 
 def read_fasta_file(path: str, letter_idx: np.ndarray, return_names: bool = False):

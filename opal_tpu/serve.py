@@ -58,8 +58,18 @@ class Server:
         )
         self.engine = Engine(backend=backend, block_size=block_size)
         self.ddb = self.engine.upload(self.db)
-        self._cache: dict = {}         # request-identity -> response dict
-        self._cache_order: list = []   # small LRU (identical re-queries)
+        # request-identity -> (response, approx bytes); a true LRU (hits
+        # refresh recency) bounded by PAYLOAD, not entry count — a single
+        # top_k=0 response over a large DB can be tens of MB
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._cache_bytes = 0
+
+    CACHE_BUDGET_BYTES = 64 * 1024 * 1024
+    # responses above this never enter the cache (one giant all-hits dump
+    # must not evict the whole working set)
+    CACHE_MAX_ENTRY_BYTES = 8 * 1024 * 1024
 
     def warm(self, lengths, gap_open: int = 3, gap_ext: int = 1,
              mode: int = MODE_SW) -> None:
@@ -100,12 +110,16 @@ class Server:
         )
         cached = self._cache.get(ckey)
         if cached is not None:
-            return cached
+            self._cache.move_to_end(ckey)  # LRU: hits refresh recency
+            return cached[0]
         resp = self._handle(req)
-        self._cache[ckey] = resp
-        self._cache_order.append(ckey)
-        if len(self._cache_order) > 256:
-            self._cache.pop(self._cache_order.pop(0), None)
+        size = len(json.dumps(resp))
+        if size <= self.CACHE_MAX_ENTRY_BYTES:
+            self._cache[ckey] = (resp, size)
+            self._cache_bytes += size
+            while self._cache_bytes > self.CACHE_BUDGET_BYTES:
+                _, (_, old_size) = self._cache.popitem(last=False)
+                self._cache_bytes -= old_size
         return resp
 
     def _handle(self, req: dict) -> dict:
@@ -119,6 +133,10 @@ class Server:
         go = int(req.get("gap_open", 3))
         ge = int(req.get("gap_ext", 1))
         top_k = int(req.get("top_k", 10))
+        if top_k < 0:
+            # a negative top_k would silently slice all-but-the-worst in
+            # rank_scores; reject at the protocol boundary instead
+            raise ValueError(f"top_k must be >= 0, got {top_k}")
         align = bool(req.get("align", False))
 
         if align:

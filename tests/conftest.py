@@ -1,25 +1,34 @@
-"""Test configuration: run JAX on CPU with 8 virtual devices so sharding
-logic is exercised without TPU hardware (SURVEY.md §4). Tests marked
-`tpu` are skipped unless a real TPU is present."""
+"""Test configuration. Two lanes:
+
+- Default: JAX pinned to CPU with 8 virtual devices so sharding logic is
+  exercised without TPU hardware (SURVEY.md §4); `tpu`-marked tests skip.
+- Hardware lane: `OPAL_TPU_HW_TESTS=1 pytest -m tpu` leaves the platform
+  alone (the axon plugin exposes the real chip) and runs the `tpu`-marked
+  suite on hardware — the CI-style validation BENCH_REPORT cites.
+"""
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+HW_LANE = os.environ.get("OPAL_TPU_HW_TESTS") == "1"
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if not HW_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# The environment may force a remote TPU platform programmatically (an axon
-# sitecustomize overriding JAX_PLATFORMS); pin the unit tests to local CPU.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not HW_LANE:
+    # The environment may force a remote TPU platform programmatically (an
+    # axon sitecustomize overriding JAX_PLATFORMS); pin unit tests to CPU.
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
@@ -34,11 +43,20 @@ def pytest_configure(config):
 def pytest_collection_modifyitems(config, items):
     import jax
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices()) if False else False
-    skip_tpu = pytest.mark.skip(reason="no TPU in unit-test environment")
+    on_tpu = HW_LANE and any(
+        d.platform != "cpu" for d in jax.devices()
+    )
+    skip_tpu = pytest.mark.skip(
+        reason="needs OPAL_TPU_HW_TESTS=1 and a real TPU")
+    skip_cpu = pytest.mark.skip(
+        reason="CPU-lane test (hardware lane runs only -m tpu)")
     for item in items:
         if "tpu" in item.keywords and not on_tpu:
             item.add_marker(skip_tpu)
+        elif HW_LANE and "tpu" not in item.keywords:
+            # the hardware lane must not run the CPU suite against the
+            # remote chip (virtual mesh assumptions don't hold there)
+            item.add_marker(skip_cpu)
 
 
 @pytest.fixture(scope="session")
