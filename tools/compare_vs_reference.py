@@ -39,6 +39,23 @@ def extract_body(stdout: str):
     return [ln for ln in body.splitlines() if ln.strip()], cpu
 
 
+def normalize_full(stdout: str):
+    """FULL stdout, timing-dependent values normalized: every header,
+    progress, result, and alignment line must match the reference
+    byte-for-byte (reference: src/opal_aligner.cpp:108-207)."""
+    out = []
+    for ln in stdout.splitlines():
+        ln = re.sub(r"^(Cpu time of searching:) [\d.]+$", r"\1 T", ln)
+        ln = re.sub(
+            r"^(GCUPS \(giga cell updates per second\):) [\d.]+$",
+            r"\1 G", ln)
+        out.append(ln)
+    # trailing blank-line differences are not meaningful
+    while out and not out[-1].strip():
+        out.pop()
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("query")
@@ -84,6 +101,26 @@ def main():
             if a != b:
                 print(f"  mine: {a}\n  ref : {b}")
                 break
+
+    # whole-stdout parity (headers + progress + results + alignments),
+    # normalizing only the timing values
+    my_full = normalize_full(mine.stdout)
+    ref_full = normalize_full(ref.stdout)
+    full_ok = my_full == ref_full
+    if not full_ok and ok:
+        # score-0 normalization may already have been applied above
+        n0 = lambda ls: [re.sub(r"^(#\d+: 0) .*", r"\1", ln) for ln in ls]
+        full_ok = n0(my_full) == n0(ref_full)
+    print(f"full-stdout parity: {'MATCH' if full_ok else 'MISMATCH'} "
+          f"({len(my_full)} vs {len(ref_full)} lines)")
+    if not full_ok:
+        import difflib
+
+        for d in list(difflib.unified_diff(ref_full, my_full,
+                                           "reference", "opal_tpu",
+                                           lineterm=""))[:24]:
+            print(" ", d)
+    ok = ok and full_ok
     print(f"search time: opal_tpu {my_cpu:.3f}s (wall {my_wall:.1f}s incl. "
           f"startup/compile), reference {ref_cpu:.3f}s (wall {ref_wall:.1f}s)")
     return 0 if ok else 1
