@@ -4,11 +4,21 @@ vs golden fixtures from the reference binary, all modes x search types.
 
 The pytest suite pins CPU (virtual-device mesh); this script exercises the
 same golden comparisons through the Pallas TPU path.
+
+--large adds the Swiss-Prot-scale fixture (tests/data/synth12071.fasta.gz,
+12071 sequences / 4.34M residues, the stand-in for the reference's missing
+uniprot_sprot12071.fasta): 16 committed x0/x1 goldens from
+tests/golden_large/ plus 4 alignment (x2) configs whose reference outputs
+are regenerated on the fly from the mounted sources (they are ~12 MB each,
+too large to commit; see tools/make_large_parity.py).
 """
+import argparse
 import glob
+import gzip
 import os
 import re
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -18,8 +28,10 @@ from opal_tpu.fasta import read_fasta_file  # noqa: E402
 from opal_tpu.matrices import ScoreMatrix  # noqa: E402
 from opal_tpu.render import render_alignment, result_line  # noqa: E402
 
-GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      "tests", "golden")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(REPO, "tests", "golden")
+GOLDEN_LARGE = os.path.join(REPO, "tests", "golden_large")
+LARGE_DB = os.path.join(REPO, "tests", "data", "synth12071.fasta.gz")
 REF_DATA = "/root/reference/test_data"
 
 
@@ -33,41 +45,106 @@ def norm_sw_zero(lines, search_type, mode_name):
     return out
 
 
+def read_golden(path: str):
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        return [ln for ln in f.read().splitlines() if ln.strip()]
+
+
+def run_case(engine, sm, lut, stem, qpath, dbpath, want, db_cache):
+    qname, dbname, rest = stem.split("__")
+    mode_name, x, o, e = rest.split("_")
+    search_type = int(x[1:])
+    go, ge = int(o[1:]), int(e[1:])
+    qs, _ = read_fasta_file(qpath, lut)
+    if dbpath not in db_cache:
+        db_cache.clear()  # one large DB in memory at a time
+        db_cache[dbpath] = read_fasta_file(dbpath, lut)[0]
+    db = db_cache[dbpath]
+    res = search_database(
+        qs[0], db, go, ge, sm.matrix, mode=MODE_CODES[mode_name],
+        search_type=search_type, engine=engine,
+    )
+    lines = []
+    for i, (r, t) in enumerate(zip(res, db)):
+        lines.append(result_line(i, r))
+        if r.alignment is not None:
+            lines.append(render_alignment(qs[0], t, r, sm.alphabet))
+    mine = [ln for ln in "\n".join(lines).splitlines() if ln.strip()]
+    mine = norm_sw_zero(mine, search_type, mode_name)
+    want = norm_sw_zero(want, search_type, mode_name)
+    ok = mine == want
+    print(f"{stem}: {'MATCH' if ok else 'MISMATCH'}", flush=True)
+    if not ok:
+        for a, b in zip(mine, want):
+            if a != b:
+                print(f"  mine: {a}\n  want: {b}")
+                break
+        if len(mine) != len(want):
+            print(f"  line counts: mine {len(mine)}, want {len(want)}")
+    return ok
+
+
+def large_x2_cases(tmpdir: str):
+    """Regenerate the 4 alignment-mode reference outputs at 12k scale."""
+    from tools.make_large_parity import build_reference, run_reference
+
+    db_plain = os.path.join(tmpdir, "synth12071.fasta")
+    with gzip.open(LARGE_DB, "rb") as f, open(db_plain, "wb") as g:
+        g.write(f.read())
+    exe = build_reference(tmpdir)
+    qpath = f"{REF_DATA}/query/O74807.fasta"
+    for mode in ("SW", "NW", "HW", "OV"):
+        body = run_reference(exe, qpath, db_plain, mode, 2)
+        want = [ln for ln in body.splitlines() if ln.strip()]
+        yield f"O74807__synth12071__{mode}_x2_o3_e1", qpath, want
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--large", action="store_true",
+                    help="include the 12k-sequence Swiss-Prot-scale fixture")
+    ap.add_argument("--only", help="substring filter on config stems")
+    args = ap.parse_args()
+
     sm = ScoreMatrix.blosum50()
     lut = sm.letter_index()
     engine = Engine(backend="pallas", block_size=256)
-    failures = 0
+    db_cache = {}
+    failures = total = 0
+
+    cases = []
     for path in sorted(glob.glob(f"{GOLDEN}/*.txt")):
         stem = os.path.basename(path)[:-4]
-        qname, dbname, rest = stem.split("__")
-        mode_name, x, o, e = rest.split("_")
-        search_type = int(x[1:])
-        go, ge = int(o[1:]), int(e[1:])
-        qs, _ = read_fasta_file(f"{REF_DATA}/query/{qname}.fasta", lut)
-        db, _ = read_fasta_file(f"{REF_DATA}/db/{dbname}.fasta", lut)
-        res = search_database(
-            qs[0], db, go, ge, sm.matrix, mode=MODE_CODES[mode_name],
-            search_type=search_type, engine=engine,
-        )
-        lines = []
-        for i, (r, t) in enumerate(zip(res, db)):
-            lines.append(result_line(i, r))
-            if r.alignment is not None:
-                lines.append(render_alignment(qs[0], t, r, sm.alphabet))
-        mine = [ln for ln in "\n".join(lines).splitlines() if ln.strip()]
-        want = [ln for ln in open(path).read().splitlines() if ln.strip()]
-        mine = norm_sw_zero(mine, search_type, mode_name)
-        want = norm_sw_zero(want, search_type, mode_name)
-        ok = mine == want
-        print(f"{stem}: {'MATCH' if ok else 'MISMATCH'}", flush=True)
-        if not ok:
+        qname, dbname, _ = stem.split("__")
+        cases.append((stem, f"{REF_DATA}/query/{qname}.fasta",
+                      f"{REF_DATA}/db/{dbname}.fasta", path))
+    if args.large:
+        for path in sorted(glob.glob(f"{GOLDEN_LARGE}/*.txt.gz")):
+            stem = os.path.basename(path)[:-7]
+            qname = stem.split("__")[0]
+            cases.append((stem, f"{REF_DATA}/query/{qname}.fasta",
+                          LARGE_DB, path))
+
+    for stem, qpath, dbpath, goldpath in cases:
+        if args.only and args.only not in stem:
+            continue
+        total += 1
+        if not run_case(engine, sm, lut, stem, qpath, dbpath,
+                        read_golden(goldpath), db_cache):
             failures += 1
-            for a, b in zip(mine, want):
-                if a != b:
-                    print(f"  mine: {a}\n  want: {b}")
-                    break
-    print(f"\n{failures} failures")
+    if args.large and (not args.only or "x2" in args.only
+                       or "synth" in args.only):
+        with tempfile.TemporaryDirectory(prefix="tpu_parity_") as tmpdir:
+            for stem, qpath, want in large_x2_cases(tmpdir):
+                if args.only and args.only not in stem:
+                    continue
+                total += 1
+                if not run_case(engine, sm, lut, stem, qpath, LARGE_DB,
+                                want, db_cache):
+                    failures += 1
+
+    print(f"\n{failures} failures / {total} configs")
     return 1 if failures else 0
 
 
