@@ -116,11 +116,14 @@ def _compiler_params(interpret: bool, big_state: bool = False):
 
 def n_state_arrays(mode: int, search_type: int, with_flags: bool) -> int:
     """[Q_pad, B] f32 VMEM scratch arrays a config needs (H, E, + extras):
-    lean SW keeps a running-max column; OV with end tracking keeps the
-    end-column snapshot (score-only OV snapshots a [1,B] colmax instead)."""
-    lean_sw = mode == MODE_SW and search_type == SEARCH_SCORE
+    SW keeps a running elementwise max m; SW with end tracking adds the
+    per-cell first-attainment column c (see _kernel_body's SW tracker
+    notes); OV with end tracking keeps the end-column snapshot (score-only
+    OV snapshots a [1,B] colmax instead)."""
+    if mode == MODE_SW:
+        return 3 if search_type == SEARCH_SCORE else 4
     ov_end = mode == MODE_OV and search_type != SEARCH_SCORE
-    return 3 if (lean_sw or ov_end) else 2
+    return 3 if ov_end else 2
 
 
 def max_q_pad(B: int, arrays: int = 3) -> int:
@@ -212,8 +215,12 @@ def _kernel_body(
 ):
     sw = mode == MODE_SW
     lean_sw = sw and not track_end
-    has_m = lean_sw or (mode == MODE_OV and track_end)
-    if has_m:
+    sw_end = sw and track_end
+    has_m = sw or (mode == MODE_OV and track_end)
+    c_ref = None
+    if sw_end:
+        m_ref, c_ref, l32_ref, tr_ref = rest
+    elif has_m:
         m_ref, l32_ref, tr_ref = rest
     else:
         m_ref = None
@@ -236,8 +243,10 @@ def _kernel_body(
         else:
             h_ref[:] = jnp.full((Q_pad, B), -go, f32)   # H = -go - r*Ge, ramped
         e_ref[:] = ramp if sw else jnp.full((Q_pad, B), NEG, f32)
-        if lean_sw:
+        if sw:
             m_ref[:] = ramp                       # running max of H~, init H~
+            if sw_end:
+                c_ref[:] = jnp.zeros((Q_pad, B), f32)
         elif has_m:  # OV with end tracking
             m_ref[:] = jnp.full((Q_pad, B), NEG, f32)   # H~ at sequence end
         tr_rows = jax.lax.broadcasted_iota(i32, (TR_ROWS, B), 0)
@@ -280,10 +289,8 @@ def _kernel_body(
     # column loop as register values: a per-column sub-tile store into the
     # [16,B] tracker scratch is a read-modify-write measured at ~15-20% of
     # the whole column's cost; carrying them writes VMEM once per chunk.
-    if lean_sw:
-        carried = []
-    elif sw:
-        carried = [TR_BEST, TR_BEST_R, TR_BEST_C]
+    if sw:
+        carried = []  # per-cell m (+ c for end tracking), no per-column rows
     elif mode == MODE_NW:
         carried = [TR_NW]
     elif mode == MODE_HW:
@@ -336,28 +343,20 @@ def _kernel_body(
 
         # ---- trackers (carried [1,B] rows; see `carried` above) ----
         cv = list(carry)
-        if lean_sw:
-            # padding is algebraic (PAD_LETTER profile): no masks, no reduce
+        if sw:
+            # padding is algebraic (PAD_LETTER profile): no masks, no
+            # reduces. End tracking costs only 2 extra elementwise ops per
+            # column: c records each cell's FIRST column attaining its
+            # final running max (the last strict improvement); the
+            # reference tie-break (best score at smallest end_t, then
+            # smallest end_q, src/opal.h:44-46) resolves once at emit from
+            # (m, c). This replaced a per-column colmax+argmax scheme that
+            # trailed score-only by 25-30%.
+            if sw_end:
+                c_ref[:] = jnp.where(
+                    Hnew > m_ref[:], t.astype(f32), c_ref[:]
+                )
             m_ref[:] = jnp.maximum(m_ref[:], Hnew)
-        elif sw:
-            valid = t < lengths          # [1, B]
-            Hu = Hnew - ramp
-            # No row_valid masks: pad-row H comes only from the F chain of
-            # real rows minus >= go (<= the same column's real max, strictly
-            # below it for go >= 1), so pad rows never raise colmax; a go==0
-            # tie resolves to the smaller (real) row via the min-argmax.
-            colmax = jnp.max(Hu, axis=0, keepdims=True)  # [1, B]
-            best = cv[cpos[TR_BEST]]
-            improved = valid & (colmax > best)
-            cv[cpos[TR_BEST]] = jnp.where(improved, colmax, best)
-            cand = jnp.where(Hu == colmax, row_f, float(Q_pad))
-            argrow = jnp.min(cand, axis=0, keepdims=True)
-            cv[cpos[TR_BEST_R]] = jnp.where(
-                improved, argrow, cv[cpos[TR_BEST_R]]
-            )
-            cv[cpos[TR_BEST_C]] = jnp.where(
-                improved, t.astype(f32), cv[cpos[TR_BEST_C]]
-            )
         else:
             valid = t < lengths          # [1, B]
             is_end = t == lengths - 1    # [1, B]
@@ -449,6 +448,29 @@ def _kernel_body(
             tr_ref[pl.ds(TR_BEST, 1), :] = jnp.max(
                 m_ref[:] - ramp, axis=0, keepdims=True
             )
+        elif sw_end:
+            # Resolve (score, end_t, end_q) from the per-cell running max m
+            # and first-attainment column c. Eligible cells are those that
+            # attained the lane best in a REAL column (c < len): a pad-row
+            # or pad-column cell can only TIE the best (possible at
+            # go==ge==0 via the F chain), and the true DP max is always
+            # also attained by a real cell in a real column, so filtering
+            # preserves the reference tie-break exactly.
+            mu = jnp.where(row_valid, m_ref[:] - ramp, NEG)
+            best = jnp.max(mu, axis=0, keepdims=True)
+            lenf = lengths.astype(f32)  # [1, B]
+            ok = (mu == best) & (c_ref[:] < lenf)
+            end_t = jnp.min(
+                jnp.where(ok, c_ref[:], float(2**30)),
+                axis=0, keepdims=True,
+            )
+            end_q = jnp.min(
+                jnp.where(ok & (c_ref[:] == end_t), row_f, float(Q_pad)),
+                axis=0, keepdims=True,
+            )
+            tr_ref[pl.ds(TR_BEST, 1), :] = best
+            tr_ref[pl.ds(TR_BEST_R, 1), :] = end_q
+            tr_ref[pl.ds(TR_BEST_C, 1), :] = end_t
         elif mode == MODE_NW:
             tr_ref[pl.ds(TR_NW, 1), :] = tr_ref[TR_NW : TR_NW + 1] - lr_off
         elif mode == MODE_HW:
@@ -517,8 +539,7 @@ def build_pallas_score_fn_raw(
             f"use a smaller Engine block_size"
         )
     out_rows = tracker_rows(mode, search_type, with_flags)
-    has_m = (mode == MODE_SW and not track_end) or (
-        mode == MODE_OV and track_end)
+    n_extra = arrays - 2  # m (SW / OV-end) and c (SW end tracking)
 
     def fn(qp, letters, lengths):
         """letters: [G, T, B] int8 (G lane-blocks sharing padded length T,
@@ -542,11 +563,9 @@ def build_pallas_score_fn_raw(
             chunk_t0=lambda: pl.program_id(1) * T_CHUNK,
         )
         scratch = [
-            pltpu.VMEM((Q_pad, B), jnp.float32),
-            pltpu.VMEM((Q_pad, B), jnp.float32),
+            pltpu.VMEM((Q_pad, B), jnp.float32)
+            for _ in range(2 + n_extra)
         ]
-        if has_m:
-            scratch.append(pltpu.VMEM((Q_pad, B), jnp.float32))
         scratch.append(pltpu.VMEM((T_CHUNK, B), jnp.int32))
         scratch.append(pltpu.VMEM((TR_ROWS, B), jnp.float32))
         return pl.pallas_call(
@@ -622,8 +641,7 @@ def build_pallas_ragged_fn_raw(
             f"query too long for pallas path at lane width {B} ({Q})"
         )
     out_rows = tracker_rows(mode, search_type, with_flags)
-    has_m = (mode == MODE_SW and not track_end) or (
-        mode == MODE_OV and track_end)
+    n_extra = arrays - 2  # m (SW / OV-end) and c (SW end tracking)
 
     def fn(meta, qp, letters, lengths):
         C = letters.shape[0]
@@ -643,11 +661,9 @@ def build_pallas_ragged_fn_raw(
             )(*refs)
 
         scratch = [
-            pltpu.VMEM((Q_pad, B), jnp.float32),
-            pltpu.VMEM((Q_pad, B), jnp.float32),
+            pltpu.VMEM((Q_pad, B), jnp.float32)
+            for _ in range(2 + n_extra)
         ]
-        if has_m:
-            scratch.append(pltpu.VMEM((Q_pad, B), jnp.float32))
         scratch.append(pltpu.VMEM((T_CHUNK, B), jnp.int32))
         scratch.append(pltpu.VMEM((TR_ROWS, B), jnp.float32))
         grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -176,9 +176,9 @@ def test_long_query_lane_width_downshift(monkeypatch):
     for i, (r, w) in enumerate(zip(res, want)):
         assert r.score == w.score, i
     # the resident cache must hold the re-blocked width (SW score+end
-    # needs 2 state arrays: Q_pad=48 first fits at B=256)
+    # needs 4 state arrays — H, E, m, c: Q_pad=48 first fits at B=128)
     (n, per_b), = eng._resident_cache.values()
-    assert 256 in per_b and per_b[256].block_size == 256
+    assert 128 in per_b and per_b[128].block_size == 128
 
 
 def test_pipelined_multipart_gather(monkeypatch):

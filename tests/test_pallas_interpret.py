@@ -114,3 +114,28 @@ def test_interpret_ragged_with_flags():
     assert [r.score for r in res] == [w.score for w in want]
     assert eng.last_search_stats is not None
     assert len(eng.last_search_stats["precision_bits"]) == len(db)
+
+
+@pytest.mark.parametrize("go,ge", [(3, 1), (1, 1), (1, 0), (0, 0)])
+def test_interpret_sw_end_tiebreaks(go, ge):
+    """SW end tracking resolves ties per the reference (best score at the
+    smallest end_t, then smallest end_q). The per-cell first-attainment
+    scheme must survive tie-heavy inputs: a 3-letter alphabet with a
+    0/1-valued matrix produces many equal-scoring cells, and go==ge==0 is
+    the one config where pad-column F-chain values can TIE the best
+    (emit-side c < len filter)."""
+    rng = np.random.default_rng(101 + go * 7 + ge)
+    n, A = 14, 3
+    matrix = np.where(np.eye(A, dtype=np.int32), 2, 0).astype(np.int32)
+    query = rng.integers(0, A, 30).astype(np.uint8)
+    db = [rng.integers(0, A, int(rng.integers(4, 140))).astype(np.uint8)
+          for _ in range(n)]
+    out = run_kernel(MODE_SW, SEARCH_SCORE_END, query, db, matrix, go, ge)
+    want = search_oracle(query, db, go, ge, matrix, MODE_SW,
+                         SEARCH_SCORE_END)
+    for i, w in enumerate(want):
+        assert out["score"][i] == w.score, i
+        if w.score == 0:
+            continue
+        assert (out["end_t"][i], out["end_q"][i]) == (
+            w.end_location_target, w.end_location_query), i
