@@ -201,9 +201,13 @@ class PallasBackend:
         return ("ragged", outs)
 
     def supports_multi(self, queries, gap_open, gap_ext, B, A, matrix,
-                       max_target_len=0):
-        """Can these queries run as one stacked score-only launch?"""
+                       max_target_len=0, search_type=0):
+        """Can these queries run as one stacked launch (score-only or
+        score+end)?"""
+        from ..constants import SEARCH_SCORE as _SCORE
+
         matrix = np.asarray(matrix)
+        arrays = 4 if search_type != _SCORE else 3
         if not self.supports(
             max(len(q) for q in queries), gap_open, gap_ext, B, A,
             profile_absmax=int(np.abs(matrix).max()),
@@ -212,7 +216,7 @@ class PallasBackend:
         if len(queries) > pk.MULTI_MAX_SEGS:
             return False
         q_total = sum(pk._round_up(max(len(q), 16), 16) for q in queries)
-        if q_total > pk.max_q_pad(B, 3):
+        if q_total > pk.max_q_pad(B, arrays):
             return False
         if len(queries) > 1 and q_total * B > pk.MULTI_AREA_BUDGET:
             return False  # stacked pass would be VMEM-pressure-bound
@@ -227,19 +231,21 @@ class PallasBackend:
         return spread < pk.MULTI_VALUE_BOUND
 
     def dispatch_multi(self, qprofiles, ddb, gap_open, gap_ext,
-                       mode=None):
-        """Stacked multi-query score-only dispatch (ragged stream).
-        Returns a handle for collect_multi; caller has checked
+                       mode=None, search_type=0):
+        """Stacked multi-query dispatch (ragged stream), score-only or
+        score+end. Returns a handle for collect_multi; caller has checked
         supports_multi and that ddb.mesh is None."""
         import jax.numpy as jnp
 
         from ..constants import MODE_SW as _SW
+        from ..constants import SEARCH_SCORE as _SCORE
 
         mode = _SW if mode is None else mode
+        track_end = search_type != _SCORE
         qp_np, seg_qpads, seg_qs = pk.prepare_qp_multi(
             qprofiles, int(gap_ext))
         if not ddb.blocks:
-            return (None, seg_qs, mode)
+            return (None, seg_qs, mode, track_end)
         seg_key = tuple(zip(seg_qs, seg_qpads))
         absmax = max(
             (int(np.abs(qp).max()) for qp in qprofiles if qp.size),
@@ -247,15 +253,16 @@ class PallasBackend:
         )
         out_i16 = self._out_i16_ok(
             max(seg_qs), absmax, int(gap_open), int(gap_ext),
-            0, False, ddb.max_len,
+            search_type, False, ddb.max_len,
         )
         fn = pk.build_pallas_multi_fn_raw(
             mode, seg_key, int(gap_open), int(gap_ext), B=ddb.block_size,
             interpret=self.interpret, out_i16=out_i16,
+            track_end=track_end,
         )
         qp_dev = jnp.asarray(qp_np, jnp.bfloat16)
-        n_seg = len(seg_qs)
-        payload = (len(ddb.blocks) * n_seg * ddb.block_size
+        n_rows = len(seg_qs) * (3 if track_end else 1)
+        payload = (len(ddb.blocks) * n_rows * ddb.block_size
                    * (2 if out_i16 else 4))
         k = max(1, min(2, payload // self.SPLIT_PAYLOAD_BYTES))
         parts = ddb.flat_parts(int(k))
@@ -263,11 +270,12 @@ class PallasBackend:
             (blocks, fn(meta, qp_dev, letters, lengths))
             for blocks, meta, letters, lengths in parts
         ]
-        return (outs, seg_qs, mode)
+        return (outs, seg_qs, mode, track_end)
 
     def collect_multi(self, handle, ddb):
-        """Returns per-query lists of (Block, scores[n]) pairs."""
-        payload, seg_qs, mode = handle
+        """Returns per-query lists of (Block, {col: [n] array}) pairs
+        (cols: score [+ end_q/end_t])."""
+        payload, seg_qs, mode, track_end = handle
         n_q = len(seg_qs)
         if payload is None:
             return [[] for _ in range(n_q)]
@@ -276,7 +284,11 @@ class PallasBackend:
             tr = np.asarray(out).astype(np.int32, copy=False)
             for bi, blk in enumerate(blocks):
                 for s in range(n_q):
-                    result[s].append((blk, tr[bi, s, : blk.n]))
+                    cols = {"score": tr[bi, s, : blk.n]}
+                    if track_end:
+                        cols["end_q"] = tr[bi, n_q + s, : blk.n]
+                        cols["end_t"] = tr[bi, 2 * n_q + s, : blk.n]
+                    result[s].append((blk, cols))
         return result
 
     def gather(self, handle):

@@ -707,12 +707,12 @@ def build_pallas_ragged_fn(*args, **kw):
 
 
 def _kernel_multi(
-    qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, m_ref, l32_ref,
-    tr_ref, *, mode, seg_qs, seg_qpads, Q_pad, TC, B, go, ge,
-    is_first, is_last, chunk_t0, out_i16=False,
+    qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, m_ref, *rest,
+    mode, seg_qs, seg_qpads, Q_pad, TC, B, go, ge,
+    is_first, is_last, chunk_t0, track_end=False, out_i16=False,
 ):
-    """Score-only search with N queries stacked along the row axis
-    (any mode).
+    """Search with N queries stacked along the row axis (any mode,
+    score-only or score+end).
 
     Each query is an independent DP segment. Segment isolation comes from
     the ramp itself: segment s is ramped by local_r*Ge + s*SEG_M, so any
@@ -729,10 +729,25 @@ def _kernel_multi(
     NW snapshots each segment's last real row at lane end; HW keeps each
     segment's running last-row max; OV keeps both the last-row trackers and
     a shared end-column snapshot (m), reduced per segment at emit.
-    Out rows: n_seg (OV's last-row/last-column max merge happens at emit).
-    """
+
+    End tracking (track_end) mirrors the single-query kernel per segment:
+    SW adds the per-cell first-attainment column c (segmented emit-time
+    tie-break — the old 'SW end stacking needs a 42-bit lexicographic key'
+    dead end applied only to packed runmax keys, not per-cell attainment);
+    NW ends are constants (Q_s-1, len-1); HW/OV add per-segment argcol
+    rows, OV also per-segment PLRM snapshots for end disambiguation
+    (reference: src/opal.cpp:845-850,881-904).
+
+    Out rows: n_seg scores (+ n_seg end_q, n_seg end_t when track_end),
+    grouped [scores | end_qs | end_ts]."""
     i32, f32 = jnp.int32, jnp.float32
     sw = mode == MODE_SW
+    sw_end = sw and track_end
+    if sw_end:
+        c_ref, l32_ref, tr_ref = rest
+    else:
+        c_ref = None
+        l32_ref, tr_ref = rest
     n_seg = len(seg_qpads)
     starts = [0]
     for q in seg_qpads[:-1]:
@@ -750,7 +765,8 @@ def _kernel_multi(
         seg_idf = seg_idf + (row_ids >= at).astype(f32)
         start_vec = jnp.where(row_ids >= at, float(at), start_vec)
     ramp2 = (row_ids.astype(f32) - start_vec) * ge + seg_idf * SEG_M
-    lengths = None if sw else lengths_ref[0]  # [1, B]
+    need_len = (not sw) or track_end
+    lengths = lengths_ref[0] if need_len else None  # [1, B]
 
     @pl.when(is_first())
     def _init():
@@ -761,10 +777,12 @@ def _kernel_multi(
         e_ref[:] = ramp2 if sw else jnp.full((Q_pad, B), NEG, f32)
         if sw:
             m_ref[:] = ramp2                    # running max of H~
+            if sw_end:
+                c_ref[:] = jnp.zeros((Q_pad, B), f32)
         elif mode == MODE_OV:
             m_ref[:] = jnp.full((Q_pad, B), NEG, f32)  # H~ at lane end
         if not sw:
-            tr_ref[:] = jnp.full((TR_ROWS, B), NEG, f32)
+            tr_ref[:] = jnp.full(tr_ref.shape, NEG, f32)
 
     l32_ref[:] = letters_ref[0].astype(i32)
 
@@ -806,6 +824,10 @@ def _kernel_multi(
         h_ref[:] = Hnew
         e_ref[:] = Enew
         if sw:
+            if sw_end:  # per-cell first-attainment column (see _kernel_body)
+                c_ref[:] = jnp.where(
+                    Hnew > m_ref[:], t.astype(f32), c_ref[:]
+                )
             m_ref[:] = jnp.maximum(m_ref[:], Hnew)
         else:
             valid = t < lengths          # [1, B]
@@ -820,11 +842,24 @@ def _kernel_multi(
                     tr_ref[pl.ds(s, 1), :] = jnp.where(
                         is_end, lastrow, tr[s : s + 1]
                     )
-                else:  # HW, OV: running last-row max
+                else:  # HW, OV: running last-row max (+ argcol / PLRM)
+                    if mode == MODE_OV and track_end:
+                        # PLRM: last-row max BEFORE this column's update,
+                        # snapshotted at lane end (reference prevMaxLastRowH,
+                        # src/opal.cpp:746,886-903)
+                        tr_ref[pl.ds(2 * n_seg + s, 1), :] = jnp.where(
+                            is_end, tr[s : s + 1],
+                            tr[2 * n_seg + s : 2 * n_seg + s + 1],
+                        )
+                    lr_improved = valid & (lastrow > tr[s : s + 1])
                     tr_ref[pl.ds(s, 1), :] = jnp.where(
-                        valid & (lastrow > tr[s : s + 1]), lastrow,
-                        tr[s : s + 1],
+                        lr_improved, lastrow, tr[s : s + 1]
                     )
+                    if track_end:
+                        tr_ref[pl.ds(n_seg + s, 1), :] = jnp.where(
+                            lr_improved, t.astype(f32),
+                            tr[n_seg + s : n_seg + s + 1],
+                        )
         return 0
 
     if chunk_has_end is None:
@@ -840,33 +875,71 @@ def _kernel_multi(
 
     @pl.when(is_last())
     def _emit():
+        def put(row, v):
+            if out_i16:
+                v = jnp.clip(v, -32768.0, 32767.0)
+            out_ref[0, row : row + 1, :] = v.astype(out_ref.dtype)
+
+        row_f = row_ids.astype(f32)
         if sw:
-            mu = m_ref[:] - ramp2
+            mu_all = m_ref[:] - ramp2
         for s in range(n_seg):
             lo = int(starts[s])
-            off = float((int(seg_qs[s]) - 1) * ge + s * SEG_M)
+            Qs = int(seg_qs[s])
+            hi = lo + Qs  # real rows only (pad rows can only tie the max)
+            off = float((Qs - 1) * ge + s * SEG_M)
+            seg_mask = (row_ids >= lo) & (row_ids < hi)
             if sw:
-                hi = lo + int(seg_qpads[s])
-                seg_mask = (row_ids >= lo) & (row_ids < hi)
-                v = jnp.max(
-                    jnp.where(seg_mask, mu, NEG), axis=0, keepdims=True
-                )
-                if out_i16:
-                    v = jnp.clip(v, -32768.0, 32767.0)
-                out_ref[0, s : s + 1, :] = v.astype(out_ref.dtype)
-            else:
-                v = tr_ref[s : s + 1] - off
-                if mode == MODE_OV:
-                    hi = lo + int(seg_qs[s])  # real rows only for colmax
-                    seg_mask = (row_ids >= lo) & (row_ids < hi)
-                    colmax = jnp.max(
-                        jnp.where(seg_mask, m_ref[:] - ramp2, NEG),
+                mu = jnp.where(seg_mask, mu_all, NEG)
+                best = jnp.max(mu, axis=0, keepdims=True)
+                put(s, best)
+                if track_end:
+                    # segmented (end_t, end_q) tie-break from (m, c), as in
+                    # the single-query emit; local row = global - lo
+                    lenf = lengths.astype(f32)
+                    ok = (mu == best) & (c_ref[:] < lenf)
+                    end_t = jnp.min(
+                        jnp.where(ok, c_ref[:], float(2**30)),
                         axis=0, keepdims=True,
                     )
-                    v = jnp.maximum(v, colmax)
-                if out_i16:
-                    v = jnp.clip(v, -32768.0, 32767.0)
-                out_ref[0, s : s + 1, :] = v.astype(out_ref.dtype)
+                    end_q = jnp.min(
+                        jnp.where(ok & (c_ref[:] == end_t),
+                                  row_f - lo, float(Q_pad)),
+                        axis=0, keepdims=True,
+                    )
+                    put(n_seg + s, end_q)
+                    put(2 * n_seg + s, end_t)
+            elif mode == MODE_OV:
+                v = tr_ref[s : s + 1] - off
+                colmax = jnp.max(
+                    jnp.where(seg_mask, m_ref[:] - ramp2, NEG),
+                    axis=0, keepdims=True,
+                )
+                put(s, jnp.maximum(v, colmax))
+                if track_end:
+                    # end disambiguation per segment (see _kernel_body OV
+                    # emit): end in the last column iff colmax beats PLRM
+                    plrm = tr_ref[2 * n_seg + s : 2 * n_seg + s + 1] - off
+                    cand = jnp.where(
+                        seg_mask & ((m_ref[:] - ramp2) == colmax),
+                        row_f - lo, float(Q_pad),
+                    )
+                    ovrow = jnp.min(cand, axis=0, keepdims=True)
+                    in_last = colmax > plrm
+                    put(n_seg + s,
+                        jnp.where(in_last, ovrow, float(Qs - 1)))
+                    put(2 * n_seg + s,
+                        jnp.where(in_last, (lengths - 1).astype(f32),
+                                  tr_ref[n_seg + s : n_seg + s + 1]))
+            else:
+                put(s, tr_ref[s : s + 1] - off)
+                if track_end:
+                    put(n_seg + s, jnp.full((1, B), float(Qs - 1), f32))
+                    if mode == MODE_NW:
+                        put(2 * n_seg + s, (lengths - 1).astype(f32))
+                    else:  # HW: first-improvement column of the last row
+                        put(2 * n_seg + s,
+                            tr_ref[n_seg + s : n_seg + s + 1])
 
 
 @functools.lru_cache(maxsize=None)
@@ -878,13 +951,16 @@ def build_pallas_multi_fn_raw(
     B: int = LANE_BLOCK,
     interpret: bool = False,
     out_i16: bool = False,
+    track_end: bool = False,
 ):
-    """Ragged-stream multi-query score-only scorer (see _kernel_multi).
+    """Ragged-stream multi-query scorer (see _kernel_multi).
 
     fn(meta[5, C] i32, qp[Q_pad, A_PAD] bf16, letters[C, TC, B] i8,
-    lengths[NB, 1, B] i32) -> scores [NB, n_seg, B] (OV's last-column /
-    last-row merge happens at emit). seg_key carries (real, 16-quantized)
-    query lengths per segment (the compile cache key)."""
+    lengths[NB, 1, B] i32) -> trackers [NB, n_rows, B] with rows
+    [scores | end_qs | end_ts] grouped per segment (ends only when
+    track_end; OV's last-column / last-row merge happens at emit).
+    seg_key carries (real, 16-quantized) query lengths per segment (the
+    compile cache key)."""
     if ge > go:
         raise ValueError("pallas path requires gap_ext <= gap_open")
     if len(seg_key) > MULTI_MAX_SEGS:
@@ -892,10 +968,14 @@ def build_pallas_multi_fn_raw(
     seg_qs = tuple(k[0] for k in seg_key)
     seg_qpads = tuple(k[1] for k in seg_key)
     Q_pad = int(sum(seg_qpads))
-    if Q_pad > max_q_pad(B, 3):
+    sw_end = mode == MODE_SW and track_end
+    if Q_pad > max_q_pad(B, 4 if sw_end else 3):
         raise ValueError("stacked queries too long for lane width")
     n_seg = len(seg_qpads)
-    n_rows = n_seg
+    n_rows = n_seg * (3 if track_end else 1)
+    # per-segment tracker rows: score (+ argcol, PLRM when track_end),
+    # padded to a full sublane tile
+    trm = TR_ROWS if not track_end else max(TR_ROWS, _round_up(3 * n_seg, 8))
 
     def fn(meta, qp, letters, lengths):
         C = letters.shape[0]
@@ -911,7 +991,7 @@ def build_pallas_multi_fn_raw(
                     _kernel_multi,
                     mode=mode, seg_qs=seg_qs, seg_qpads=seg_qpads,
                     Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
-                    out_i16=out_i16,
+                    track_end=track_end, out_i16=out_i16,
                     is_first=lambda: meta_ref[1, c] == 1,
                     is_last=lambda: meta_ref[2, c] == 1,
                     chunk_t0=lambda: meta_ref[3, c],
@@ -927,13 +1007,11 @@ def build_pallas_multi_fn_raw(
             ],
             out_specs=pl.BlockSpec((1, n_rows, B),
                                    lambda c, m: (m[0, c], 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((Q_pad, B), jnp.float32),
-                pltpu.VMEM((Q_pad, B), jnp.float32),
-                pltpu.VMEM((Q_pad, B), jnp.float32),
-                pltpu.VMEM((T_CHUNK, B), jnp.int32),
-                pltpu.VMEM((TR_ROWS, B), jnp.float32),
-            ],
+            scratch_shapes=(
+                [pltpu.VMEM((Q_pad, B), jnp.float32)] * (4 if sw_end else 3)
+                + [pltpu.VMEM((T_CHUNK, B), jnp.int32),
+                   pltpu.VMEM((trm, B), jnp.float32)]
+            ),
         )
         return pl.pallas_call(
             kernel_wrapper,

@@ -240,12 +240,12 @@ def search_database_multi_arrays(
     This is the production serving shape (a batch of queries against a
     resident database) the reference has no equivalent for (its CLI reads
     only the first query sequence, src/opal_aligner.cpp:106-110). On the
-    pallas TPU backend, SW score-only batches run as *stacked* kernel
-    launches — up to 8 queries share one DP pass as independent row
-    segments (engine/pallas_kernels.py::_kernel_multi_sw), amortizing
-    launch and per-column costs (~40% more GCUPS than sequential launches
-    at typical query lengths). Other modes/search types run per query on
-    the resident database."""
+    pallas TPU backend, score-only AND score+end batches (any mode) run as
+    *stacked* kernel launches — up to 8 queries share one DP pass as
+    independent row segments (engine/pallas_kernels.py::_kernel_multi),
+    amortizing launch and per-column costs (~40% more GCUPS than
+    sequential launches at typical query lengths). Full-alignment searches
+    run per query on the resident database."""
     if matrix is None:
         raise ValueError("matrix is required")
     engine = engine or get_default_engine()
@@ -257,7 +257,7 @@ def search_database_multi_arrays(
 
     out: list = [None] * len(queries)
     stackable = (
-        search_type == SEARCH_SCORE
+        search_type != SEARCH_ALIGNMENT
         and engine.config.precision != "adaptive"
         and ddb.mesh is None
         and getattr(backend, "supports_multi", None) is not None
@@ -274,6 +274,7 @@ def search_database_multi_arrays(
                     queries[i : j + 1], gap_open, gap_ext,
                     ddb.block_size, A, matrix_np,
                     max_target_len=ddb.max_len,
+                    search_type=search_type,
                 )
             ):
                 group = queries[i : j + 1]
@@ -284,13 +285,21 @@ def search_database_multi_arrays(
                 for q in group
             ]
             handle = backend.dispatch_multi(qprofiles, ddb, gap_open,
-                                            gap_ext, mode=mode)
+                                            gap_ext, mode=mode,
+                                            search_type=search_type)
             per_query = backend.collect_multi(handle, ddb)
             for s in range(len(group)):
-                arr = np.empty(ddb.n, dtype=np.int32)
-                for blk, scores in per_query[s]:
-                    arr[blk.indices] = scores
-                out[i + s] = {"score": arr}
+                cols: dict = {}
+                for blk, blk_cols in per_query[s]:
+                    for k, v in blk_cols.items():
+                        arr = cols.setdefault(
+                            k, np.empty(ddb.n, dtype=np.int32))
+                        arr[blk.indices] = v
+                if search_type != SEARCH_SCORE and mode == MODE_SW:
+                    zero = cols["score"] == 0
+                    cols["end_q"] = np.where(zero, -1, cols["end_q"])
+                    cols["end_t"] = np.where(zero, -1, cols["end_t"])
+                out[i + s] = cols
             i += len(group)
         else:
             out[i] = search_database_arrays(
@@ -299,6 +308,84 @@ def search_database_multi_arrays(
             )
             i += 1
     return out
+
+
+def alignment_pass(query, db_list, gap_open, gap_ext, matrix, mode,
+                   results, cand):
+    """Reconstruct alignment paths for the candidate indices.
+
+    results[i] must already carry the exact score and end locations for
+    every i in cand (any indexable container of SearchResult works — a
+    dict for sparse serving top-k passes). Zero-score SW sequences get the
+    reference's no-alignment treatment (src/opal.cpp:1479-1483);
+    non-reconstructible degenerate optima keep exact score/end and omit
+    the path (the reference aborts there, src/opal.cpp:1497)."""
+
+    def _align_one(i):
+        r = results[i]
+        try:
+            return i, align_pair_reverse_trick(
+                query, db_list[i], gap_open, gap_ext, matrix,
+                r.score, r.end_location_query, r.end_location_target,
+                mode,
+            ), None
+        except AlignmentError as exc:
+            return i, None, exc
+
+    todo_align = []
+    for i in cand:
+        r = results[i]
+        if mode == MODE_SW and r.score == 0:
+            # reference: src/opal.cpp:1479-1483
+            r.alignment = None
+            r.alignment_length = 0
+            r.start_location_query = r.start_location_target = -1
+            r.end_location_query = r.end_location_target = -1
+        else:
+            todo_align.append(i)
+
+    # The per-pair traceback is host work; the native C path releases
+    # the GIL, so a thread pool scales it across host cores
+    # (OPAL_TPU_TRACEBACK_WORKERS overrides; 0/1 = serial).
+    import os as _os
+
+    workers = _os.environ.get("OPAL_TPU_TRACEBACK_WORKERS")
+    workers = (int(workers) if workers
+               else min(_os.cpu_count() or 1, 16))
+    if workers > 1 and len(todo_align) >= 32:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            outcomes = list(pool.map(_align_one, todo_align))
+    else:
+        outcomes = [_align_one(i) for i in todo_align]
+
+    for i, out, exc in outcomes:
+        r = results[i]
+        if exc is not None:
+            # Degenerate optimum not representable as an anchored path
+            # (e.g. a pure-deletion HW/OV alignment consuming zero
+            # target letters). The reference aborts on its reverse-pass
+            # assert here (src/opal.cpp:1497); we keep the exact
+            # score/end and omit the path.
+            import warnings
+
+            warnings.warn(
+                f"sequence {i}: alignment path not reconstructible "
+                f"({exc}); score/end locations remain exact",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            r.alignment = None
+            r.alignment_length = 0
+            r.start_location_query = -1
+            r.start_location_target = -1
+            continue
+        sq, st, ops = out
+        r.start_location_query = sq
+        r.start_location_target = st
+        r.alignment = ops
+        r.alignment_length = len(ops)
 
 
 _default_engine: Optional[Engine] = None
@@ -438,74 +525,11 @@ def search_database(
                 )
             align_set = set(rank_scores(all_scores, align_top_k).tolist())
 
-        def _align_one(i):
-            r = results[i]
-            try:
-                return i, align_pair_reverse_trick(
-                    query, db_list[i], gap_open, gap_ext, matrix,
-                    r.score, r.end_location_query, r.end_location_target,
-                    mode,
-                ), None
-            except AlignmentError as exc:
-                return i, None, exc
-
-        todo_align = []
         # non-top-k sequences keep exact score/end and no path; only the
         # candidates need a pass (avoids an O(n) scan at large n)
         cand = range(n) if align_set is None else sorted(align_set)
-        for i in cand:
-            r = results[i]
-            if mode == MODE_SW and r.score == 0:
-                # reference: src/opal.cpp:1479-1483
-                r.alignment = None
-                r.alignment_length = 0
-                r.start_location_query = r.start_location_target = -1
-                r.end_location_query = r.end_location_target = -1
-            else:
-                todo_align.append(i)
-
-        # The per-pair traceback is host work; the native C path releases
-        # the GIL, so a thread pool scales it across host cores
-        # (OPAL_TPU_TRACEBACK_WORKERS overrides; 0/1 = serial).
-        import os as _os
-
-        workers = _os.environ.get("OPAL_TPU_TRACEBACK_WORKERS")
-        workers = (int(workers) if workers
-                   else min(_os.cpu_count() or 1, 16))
-        if workers > 1 and len(todo_align) >= 32:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                outcomes = list(pool.map(_align_one, todo_align))
-        else:
-            outcomes = [_align_one(i) for i in todo_align]
-
-        for i, out, exc in outcomes:
-            r = results[i]
-            if exc is not None:
-                # Degenerate optimum not representable as an anchored path
-                # (e.g. a pure-deletion HW/OV alignment consuming zero
-                # target letters). The reference aborts on its reverse-pass
-                # assert here (src/opal.cpp:1497); we keep the exact
-                # score/end and omit the path.
-                import warnings
-
-                warnings.warn(
-                    f"sequence {i}: alignment path not reconstructible "
-                    f"({exc}); score/end locations remain exact",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
-                r.alignment = None
-                r.alignment_length = 0
-                r.start_location_query = -1
-                r.start_location_target = -1
-                continue
-            sq, st, ops = out
-            r.start_location_query = sq
-            r.start_location_target = st
-            r.alignment = ops
-            r.alignment_length = len(ops)
+        alignment_pass(query, db_list, gap_open, gap_ext, matrix, mode,
+                       results, cand)
     else:
         # reference: src/opal.cpp:1508-1515
         for r in results:

@@ -33,11 +33,9 @@ import sys
 
 import numpy as np
 
-from .constants import (MODE_CODES, MODE_SW, SEARCH_ALIGNMENT,
-                        SEARCH_SCORE)
+from .constants import MODE_CODES, MODE_SW, SEARCH_SCORE
 from .engine.search import (
     Engine,
-    search_database,
     search_database_multi_arrays,
 )
 from .fasta import read_fasta_file
@@ -140,24 +138,45 @@ class Server:
         align = bool(req.get("align", False))
 
         if align:
-            answers = []
-            for q in qs:
-                res = search_database(
-                    q, self.ddb, go, ge, self.sm.matrix, mode=mode,
-                    search_type=SEARCH_ALIGNMENT, engine=self.engine,
-                    align_top_k=top_k or 0,
+            # One stacked score+end pass for the whole batch (queries share
+            # a DP pass as row segments), then each query aligns only its
+            # ranked winners on the host — batches no longer pay one full
+            # scoring launch per query.
+            if ge > go:
+                raise ValueError(
+                    "alignment requires gap_ext <= gap_open "
+                    "(scores are available without align)"
                 )
-                scores = np.array([r.score for r in res])
-                order = rank_scores(scores, top_k)
+            from .constants import SEARCH_SCORE_END
+            from .engine.search import alignment_pass
+            from .result import SearchResult
+
+            outs = search_database_multi_arrays(
+                qs, self.ddb, go, ge, self.sm.matrix, mode=mode,
+                search_type=SEARCH_SCORE_END, engine=self.engine,
+            )
+            answers = []
+            for q, out in zip(qs, outs):
+                order = [int(i) for i in rank_scores(out["score"], top_k)]
+                results = {}
+                for i in order:
+                    r = SearchResult()
+                    r.score_set = 1
+                    r.score = int(out["score"][i])
+                    r.end_location_query = int(out["end_q"][i])
+                    r.end_location_target = int(out["end_t"][i])
+                    results[i] = r
+                alignment_pass(q, self.db, go, ge, self.sm.matrix, mode,
+                               results, order)
                 answers.append([
-                    [int(i), int(res[i].score),
-                     int(res[i].start_location_query),
-                     int(res[i].start_location_target),
-                     int(res[i].end_location_query),
-                     int(res[i].end_location_target),
-                     ops_to_cigar(res[i].alignment)
-                     if res[i].alignment is not None else None]
-                    + ([self.names[int(i)]] if with_names else [])
+                    [i, results[i].score,
+                     int(results[i].start_location_query),
+                     int(results[i].start_location_target),
+                     int(results[i].end_location_query),
+                     int(results[i].end_location_target),
+                     ops_to_cigar(results[i].alignment)
+                     if results[i].alignment is not None else None]
+                    + ([self.names[i]] if with_names else [])
                     for i in order
                 ])
         else:

@@ -134,3 +134,59 @@ def test_cli_all_queries(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Query #" not in out
+
+
+@pytest.mark.parametrize("mode", [MODE_SW, MODE_NW, MODE_HW, MODE_OV])
+def test_stacked_kernel_score_end_matches_oracle_interpret(mode):
+    """Score+end (x1) stacking: per-segment trackers (SW per-cell (m, c)
+    tie-break, HW/OV argcol, OV PLRM end disambiguation) must reproduce
+    the reference end semantics for every stacked query."""
+    from opal_tpu.constants import SEARCH_SCORE_END
+
+    queries, db, matrix = _random_setup(41 + mode)
+    eng = _interpret_engine()
+    outs = search_database_multi_arrays(
+        queries, db, 4, 2, matrix, mode=mode,
+        search_type=SEARCH_SCORE_END, engine=eng
+    )
+    assert len(outs) == len(queries)
+    for q, out in zip(queries, outs):
+        want = search_oracle(q, db, 4, 2, matrix, mode, SEARCH_SCORE_END)
+        np.testing.assert_array_equal(
+            out["score"], np.array([r.score for r in want])
+        )
+        for i, w in enumerate(want):
+            if mode == MODE_SW and w.score == 0:
+                assert out["end_q"][i] == -1 and out["end_t"][i] == -1, i
+                continue
+            assert (out["end_t"][i], out["end_q"][i]) == (
+                w.end_location_target, w.end_location_query), (i, mode)
+
+
+def test_stacked_score_end_tie_heavy():
+    """x1 stacking under a tie-heavy 0/2 matrix: the segmented emit-time
+    tie-break must match the oracle for every segment."""
+    from opal_tpu.constants import SEARCH_SCORE_END
+
+    rng = np.random.default_rng(77)
+    A = 3
+    matrix = np.where(np.eye(A, dtype=np.int32), 2, 0).astype(np.int32)
+    queries = [rng.integers(0, A, int(n)).astype(np.uint8)
+               for n in rng.integers(5, 60, size=4)]
+    db = [rng.integers(0, A, int(rng.integers(4, 150))).astype(np.uint8)
+          for _ in range(30)]
+    eng = _interpret_engine()
+    for mode in (MODE_SW, MODE_HW, MODE_OV):
+        outs = search_database_multi_arrays(
+            queries, db, 1, 1, matrix, mode=mode,
+            search_type=SEARCH_SCORE_END, engine=eng
+        )
+        for q, out in zip(queries, outs):
+            want = search_oracle(q, db, 1, 1, matrix, mode,
+                                 SEARCH_SCORE_END)
+            for i, w in enumerate(want):
+                assert out["score"][i] == w.score, (i, mode)
+                if mode == MODE_SW and w.score == 0:
+                    continue
+                assert (out["end_t"][i], out["end_q"][i]) == (
+                    w.end_location_target, w.end_location_query), (i, mode)
