@@ -39,7 +39,7 @@ from ..traceback import AlignmentError, align_pair_reverse_trick
 
 @dataclasses.dataclass
 class EngineConfig:
-    backend: str = "auto"     # "auto" | "xla" | "pallas"
+    backend: str = "auto"     # "auto" | "xla" | "pallas" | "pallas-interpret"
     # sequences per scored block (lane count); 1024 measured fastest on
     # v5e (512 ~5% slower, 2048 regresses on VMEM pressure)
     block_size: int = 1024
@@ -68,10 +68,11 @@ class Engine:
             import jax
 
             name = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if name == "pallas":
+        if name in ("pallas", "pallas-interpret"):
             from . import pallas_backend
 
-            self._backend = pallas_backend.PallasBackend()
+            self._backend = pallas_backend.PallasBackend(
+                interpret=(name == "pallas-interpret"))
         else:
             from . import xla_backend
 

@@ -146,21 +146,27 @@ def run_trial(seed, engine, long_queries=False):
             assert aligned == need, (aligned, need)
         return f"align m{mode} Q{Q} n{n} go{go} ge{ge} top{topk} ok{aligned}"
 
-    if kind < 0.9:  # stacked multi-query, score-only
+    if kind < 0.9:  # stacked multi-query, score-only or score+end
         if ge > go or go == 0:
             return "skip-multi"
+        st = SEARCH_SCORE if rng.random() < 0.5 else SEARCH_SCORE_END
         nq = int(rng.integers(2, 7))
         queries = [rng.integers(0, A, size=int(rng.choice(Q_POOL)),
                                 dtype=np.uint8) for _ in range(nq)]
         outs = search_database_multi_arrays(
             queries, db, go, ge, matrix, mode=mode,
-            search_type=SEARCH_SCORE, engine=engine)
+            search_type=st, engine=engine)
         for qi, (q, out) in enumerate(zip(queries, outs)):
-            want = search_oracle(q, db, go, ge, matrix, mode, SEARCH_SCORE)
+            want = search_oracle(q, db, go, ge, matrix, mode, st)
             got = out["score"]
             for i, w in enumerate(want):
                 assert got[i] == w.score, (qi, i, int(got[i]), w.score)
-        return f"multi m{mode} nq{nq} n{n} go{go} ge{ge}"
+                if st != SEARCH_SCORE and not (
+                        mode == MODE_SW and w.score == 0):
+                    assert (int(out["end_q"][i]), int(out["end_t"][i])) == (
+                        w.end_location_query, w.end_location_target
+                    ), (qi, i)
+        return f"multi m{mode} x{int(st)} nq{nq} n{n} go{go} ge{ge}"
 
     # skip semantics: pre-set results are trusted and untouched
     st = SEARCH_SCORE_END
