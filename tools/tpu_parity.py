@@ -85,6 +85,53 @@ def run_case(engine, sm, lut, stem, qpath, dbpath, want, db_cache):
     return ok
 
 
+def run_multi_case(engine, sm, lut, dbpath, mode_name, search_type,
+                   golden_paths, db_cache):
+    """Stacked multi-query parity: all queries share one kernel pass
+    (search_database_multi_arrays), each query's result lines diffed
+    against its own golden. Exercises the SEG_M-stacked x0/x1 kernels
+    (engine/pallas_kernels.py::_kernel_multi) on the hardware path."""
+    from opal_tpu.engine.search import search_database_multi_arrays
+
+    queries, stems = [], []
+    for path in golden_paths:
+        stem = os.path.basename(path).replace(".txt.gz", "").replace(
+            ".txt", "")
+        qname = stem.split("__")[0]
+        qs, _ = read_fasta_file(f"{REF_DATA}/query/{qname}.fasta", lut)
+        queries.append(qs[0])
+        stems.append(stem)
+    if dbpath not in db_cache:
+        db_cache.clear()
+        db_cache[dbpath] = read_fasta_file(dbpath, lut)[0]
+    db = db_cache[dbpath]
+    outs = search_database_multi_arrays(
+        queries, db, 3, 1, sm.matrix, mode=MODE_CODES[mode_name],
+        search_type=search_type, engine=engine,
+    )
+    all_ok = True
+    for stem, path, out in zip(stems, golden_paths, outs):
+        want = norm_sw_zero(read_golden(path), search_type, mode_name)
+        if search_type == 0:
+            mine = [f"#{i}: {s} (?, ?) (?, ?)"
+                    for i, s in enumerate(out["score"])]
+        else:
+            mine = [f"#{i}: {s} (?, ?) ({eq}, {et})"
+                    if eq >= 0 else f"#{i}: {s} (?, ?) (?, ?)"
+                    for i, (s, eq, et) in enumerate(
+                        zip(out["score"], out["end_q"], out["end_t"]))]
+        mine = norm_sw_zero(mine, search_type, mode_name)
+        ok = mine == want
+        print(f"multi[{stem}]: {'MATCH' if ok else 'MISMATCH'}", flush=True)
+        if not ok:
+            all_ok = False
+            for a, b in zip(mine, want):
+                if a != b:
+                    print(f"  mine: {a}\n  want: {b}")
+                    break
+    return all_ok
+
+
 def large_x2_cases(tmpdir: str):
     """Regenerate the 4 alignment-mode reference outputs at 12k scale."""
     from tools.make_large_parity import build_reference, run_reference
@@ -133,6 +180,21 @@ def main():
         if not run_case(engine, sm, lut, stem, qpath, dbpath,
                         read_golden(goldpath), db_cache):
             failures += 1
+    if args.large and not args.only:
+        # stacked multi-query parity: O74807 + P18080 share one DP pass
+        # per (mode, x) against the 12k-seq fixture
+        for mode_name in ("SW", "NW", "HW", "OV"):
+            for st in (0, 1):
+                paths = sorted(glob.glob(
+                    f"{GOLDEN_LARGE}/*__synth12071__{mode_name}_x{st}_o3_e1"
+                    ".txt.gz"))
+                if len(paths) < 2:
+                    continue
+                total += 1
+                if not run_multi_case(engine, sm, lut, LARGE_DB, mode_name,
+                                      st, paths, db_cache):
+                    failures += 1
+
     if args.large and (not args.only or "x2" in args.only
                        or "synth" in args.only):
         with tempfile.TemporaryDirectory(prefix="tpu_parity_") as tmpdir:
