@@ -87,6 +87,38 @@ def test_ragged_multiblock_on_tpu():
         assert out["score"][i] == w.score, i
 
 
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+def test_stacked_multi_x1_on_tpu(mode):
+    """Stacked multi-query score+end (SEG_M row segments share one DP
+    pass) must stay oracle-exact on the real chip — covers the per-cell
+    SW end-tracking and per-segment NW/HW/OV trackers."""
+    from opal_tpu.constants import MODE_SW, SEARCH_SCORE_END
+    from opal_tpu.engine.search import Engine, search_database_multi_arrays
+    from opal_tpu.oracle import search_oracle
+
+    rng = np.random.default_rng(99 + mode)
+    A = 24
+    matrix = rng.integers(-4, 6, size=(A, A), dtype=np.int32)
+    matrix = (matrix + matrix.T) // 2
+    np.fill_diagonal(matrix, rng.integers(2, 9, size=A))
+    queries = [rng.integers(0, A, size=int(n), dtype=np.uint8)
+               for n in (60, 111, 155)]
+    db = [rng.integers(0, A, size=int(rng.integers(5, 400)),
+                       dtype=np.uint8) for _ in range(80)]
+    eng = Engine(backend="pallas", block_size=1024)
+    outs = search_database_multi_arrays(queries, db, 3, 1, matrix,
+                                        mode=mode,
+                                        search_type=SEARCH_SCORE_END,
+                                        engine=eng)
+    for qi, (q, out) in enumerate(zip(queries, outs)):
+        want = search_oracle(q, db, 3, 1, matrix, mode, SEARCH_SCORE_END)
+        for i, w in enumerate(want):
+            assert int(out["score"][i]) == w.score, (qi, i)
+            if not (mode == MODE_SW and w.score == 0):
+                assert (int(out["end_q"][i]), int(out["end_t"][i])) == (
+                    w.end_location_query, w.end_location_target), (qi, i)
+
+
 def test_mesh_sharded_on_tpu():
     """The shard_map pallas path compiled for the real chip (1-device
     mesh: same program as a pod slice, minus cross-chip lanes)."""
