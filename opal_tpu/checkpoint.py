@@ -99,6 +99,8 @@ class Checkpoint:
                         header = json.loads(first)
                     except json.JSONDecodeError:
                         header = None
+                    if not isinstance(header, dict):
+                        header = None  # parseable but non-dict == corrupt
                 if header is None:
                     # torn/corrupt header: a crash between file creation
                     # and the (fsynced) header write. No record can follow
@@ -152,8 +154,15 @@ class Checkpoint:
 
             sidecar = os.path.join(
                 os.path.dirname(os.path.abspath(self.path)), entry[1])
-            with open(sidecar, "rb") as f:
-                blob = f.read()
+            try:
+                with open(sidecar, "rb") as f:
+                    blob = f.read()
+            except FileNotFoundError:
+                raise ValueError(
+                    f"checkpoint sidecar {entry[1]} is missing (crash "
+                    "between journal append and sidecar durability?); "
+                    "remove the journal and restart"
+                ) from None
             if hashlib.sha256(blob).hexdigest() != entry[2]:
                 raise ValueError(
                     f"checkpoint sidecar {entry[1]} is corrupt "
@@ -185,6 +194,14 @@ class Checkpoint:
                 f.write(blob)
                 f.flush()
                 os.fsync(f.fileno())
+            # the sidecar's DIRECTORY ENTRY must be durable before the
+            # journal references it (file fsync alone doesn't persist the
+            # name on POSIX)
+            dfd = os.open(os.path.dirname(sidecar) or ".", os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
             sha = hashlib.sha256(blob).hexdigest()
             payload = json.dumps({"chunk": chunk, "ext": name, "sha": sha})
             entry = ("ext", name, sha)

@@ -20,6 +20,7 @@ from .constants import (
     OVERFLOW_BUCKETS,
     SEARCH_ALIGNMENT,
     SEARCH_SCORE,
+    SEARCH_SCORE_END,
 )
 from .engine.search import (
     Engine,
@@ -35,20 +36,31 @@ from .result import SearchResult
 def _run_queries(queries, db, args, score_matrix, mode, engine,
                  search_type=None):
     """Search the DB chunk with every query; returns per-query result lists.
-    SW score-only multi-query batches take the stacked-kernel fast path."""
+    Score and score+end multi-query batches take the stacked-kernel fast
+    path (any mode); full-alignment searches run per query."""
     search_type = args.search_type if search_type is None else search_type
-    if len(queries) > 1 and search_type == SEARCH_SCORE:
+    if len(queries) > 1 and search_type in (SEARCH_SCORE, SEARCH_SCORE_END):
         outs = search_database_multi_arrays(
             queries, db, args.gap_open, args.gap_ext, score_matrix.matrix,
-            mode=mode, search_type=SEARCH_SCORE, engine=engine,
+            mode=mode, search_type=search_type, engine=engine,
         )
         per_query = []
         for out in outs:
             rs = []
-            for sc in out["score"].tolist():
-                r = SearchResult()
-                r.set_score(sc)
-                rs.append(r)
+            if search_type == SEARCH_SCORE:
+                for sc in out["score"].tolist():
+                    r = SearchResult()
+                    r.set_score(sc)
+                    rs.append(r)
+            else:
+                for sc, eq, et in zip(out["score"].tolist(),
+                                      out["end_q"].tolist(),
+                                      out["end_t"].tolist()):
+                    r = SearchResult()
+                    r.set_score(sc)
+                    r.end_location_query = eq
+                    r.end_location_target = et
+                    rs.append(r)
             per_query.append(rs)
         return per_query
     return [
@@ -85,7 +97,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="search level: 0=score, 1=+end location, "
                    "2=+start location and alignment")
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "xla", "pallas"])
+                   choices=["auto", "xla", "pallas", "pallas-interpret"])
     p.add_argument("--block-size", type=int, default=1024,
                    help="DB sequences per device block")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -105,8 +117,8 @@ def build_parser() -> argparse.ArgumentParser:
                    "the last chunk. 0 = align all")
     p.add_argument("--all-queries", action="store_true",
                    help="search every sequence in the query file, not just "
-                   "the first (batches of SW score searches run as stacked "
-                   "multi-query kernel launches)")
+                   "the first (score and score+end batches run as stacked "
+                   "multi-query kernel launches, any mode)")
     p.add_argument("query")
     p.add_argument("db")
     return p
@@ -256,32 +268,22 @@ def main(argv=None) -> int:
                             print()
 
     if global_align_top:
-        from .constants import MODE_SW
-        from .traceback import AlignmentError, align_pair_reverse_trick
+        from .engine.search import alignment_pass
 
         start = time.perf_counter()
         sections = []
         for k, cand in enumerate(candidates):
             cand.sort(key=lambda c: (-c[2].score, c[0]))
             winners = cand[: args.align_top]
-            lines = []
-            for gi, t, r in winners:
-                if not (mode == MODE_SW and r.score == 0):
-                    try:
-                        sq, st_, ops = align_pair_reverse_trick(
-                            queries[k], t, args.gap_open, args.gap_ext,
-                            score_matrix.matrix, r.score,
-                            r.end_location_query, r.end_location_target,
-                            mode,
-                        )
-                        r.start_location_query = sq
-                        r.start_location_target = st_
-                        r.alignment = ops
-                        r.alignment_length = len(ops)
-                    except AlignmentError:
-                        pass  # keep exact score/ends, omit the path
-                lines.append((gi, t, r))
-            sections.append(lines)
+            # shared sparse alignment pass (threaded across host cores,
+            # SW score-0 + degenerate-optimum handling identical to the
+            # library/serve paths)
+            res_by_gi = {gi: r for gi, _, r in winners}
+            seq_by_gi = {gi: t for gi, t, _ in winners}
+            alignment_pass(queries[k], seq_by_gi, args.gap_open,
+                           args.gap_ext, score_matrix.matrix, mode,
+                           res_by_gi, list(res_by_gi))
+            sections.append(winners)
         cpu_time += time.perf_counter() - start
         if not args.silent:
             for k, lines in enumerate(sections):

@@ -207,12 +207,15 @@ class DeviceDatabase:
         prefix = np.cumsum(nch)
         groups, lo = [], 0
         for j in range(1, D):
-            # first block index where prefix mass reaches j/D of the total;
-            # empty groups are fine (mesh wider than the DB has blocks)
-            c = int(np.searchsorted(prefix, total * j / D, side="left"))
-            c = max(c, lo)
-            groups.append(self.blocks[lo:c])
-            lo = c
+            # cut AFTER the block whose prefix mass first reaches j/D of
+            # the total (same inclusive-cut rule as flat_parts — an
+            # exclusive cut leaves device 0 empty and doubles the last
+            # device's load in the uniform case); empty groups are fine
+            # (mesh wider than the DB has blocks)
+            c = int(np.searchsorted(prefix, total * j / D))
+            cut = min(max(c + 1, lo), len(self.blocks))
+            groups.append(self.blocks[lo:cut])
+            lo = cut
         groups.append(self.blocks[lo:])
         c_pad = self._quantize(max(
             (sum(blk.letters.shape[0] // T_CHUNK for blk in g)

@@ -201,13 +201,19 @@ class PallasBackend:
         return ("ragged", outs)
 
     def supports_multi(self, queries, gap_open, gap_ext, B, A, matrix,
-                       max_target_len=0, search_type=0):
+                       max_target_len=0, search_type=0, mode=None):
         """Can these queries run as one stacked launch (score-only or
         score+end)?"""
+        from ..constants import MODE_SW as _SW
         from ..constants import SEARCH_SCORE as _SCORE
 
         matrix = np.asarray(matrix)
-        arrays = 4 if search_type != _SCORE else 3
+        # only SW end tracking carries a 4th VMEM state array (per-cell
+        # first-attainment columns); NW/HW/OV x1 stacks with 3 — must
+        # match build_pallas_multi_fn_raw's sw_end gating or tall NW/HW/OV
+        # batches are needlessly rejected to sequential launches
+        sw_end = search_type != _SCORE and (mode is None or mode == _SW)
+        arrays = 4 if sw_end else 3
         if not self.supports(
             max(len(q) for q in queries), gap_open, gap_ext, B, A,
             profile_absmax=int(np.abs(matrix).max()),

@@ -275,7 +275,7 @@ def search_database_multi_arrays(
                     queries[i : j + 1], gap_open, gap_ext,
                     ddb.block_size, A, matrix_np,
                     max_target_len=ddb.max_len,
-                    search_type=search_type,
+                    search_type=search_type, mode=mode,
                 )
             ):
                 group = queries[i : j + 1]

@@ -27,8 +27,12 @@ def top_k_results(results, k: int):
 
 
 def merge_shard_scores(shard_scores, shard_sizes) -> np.ndarray:
-    """Concatenate per-shard score vectors (padded rows from an all-gather)
-    back into one global score array in original shard-major order."""
+    """Trim per-shard padded all-gather rows (1-D score vectors, or
+    [max_local, k] record tables) to their true sizes and concatenate in
+    shard-major order. Generic utility for custom merge flows —
+    MultiHostSearch itself does NOT use it: it lexsorts the padded record
+    table directly (parallel/multihost.py::_rank) and never materializes
+    the concatenation."""
     parts = []
     for row, n in zip(shard_scores, shard_sizes):
         parts.append(np.asarray(row)[:n])

@@ -101,8 +101,19 @@ class Server:
         return idx.astype(np.uint8)
 
     def handle(self, req: dict) -> dict:
-        # identical re-queries are served from a small LRU (the resident-DB
-        # deployment sees many repeated lookups)
+        """Dict-level convenience wrapper (tests / library callers); the
+        serving loop uses handle_encoded to avoid re-serializing."""
+        return json.loads(self.handle_encoded(req))
+
+    def handle_encoded(self, req: dict) -> str:
+        """Answer a request as its JSON-encoded body (no "id" key).
+
+        The body is serialized exactly once — the LRU caches the encoded
+        string (so multi-MB top_k=0 payloads aren't re-encoded per hit or
+        double-encoded for size accounting) and _respond splices the
+        request id in without reparsing. Identical re-queries are served
+        from the cache (the resident-DB deployment sees many repeated
+        lookups)."""
         ckey = json.dumps(
             {k: v for k, v in req.items() if k != "id"}, sort_keys=True
         )
@@ -110,15 +121,15 @@ class Server:
         if cached is not None:
             self._cache.move_to_end(ckey)  # LRU: hits refresh recency
             return cached[0]
-        resp = self._handle(req)
-        size = len(json.dumps(resp))
+        body = json.dumps(self._handle(req))
+        size = len(body)
         if size <= self.CACHE_MAX_ENTRY_BYTES:
-            self._cache[ckey] = (resp, size)
+            self._cache[ckey] = (body, size)
             self._cache_bytes += size
             while self._cache_bytes > self.CACHE_BUDGET_BYTES:
                 _, (_, old_size) = self._cache.popitem(last=False)
                 self._cache_bytes -= old_size
-        return resp
+        return body
 
     def _handle(self, req: dict) -> dict:
         queries = req.get("queries")
@@ -197,14 +208,18 @@ class Server:
     def _respond(self, line: str) -> str:
         try:
             req = json.loads(line)
-            resp = {"id": req.get("id"), **self.handle(req)}
+            body = self.handle_encoded(req)
+            rid = json.dumps(req.get("id"))
+            if body == "{}":
+                return '{"id": ' + rid + "}"
+            return '{"id": ' + rid + ", " + body[1:]
         except Exception as exc:  # noqa: BLE001 — protocol boundary
             try:
                 rid = json.loads(line).get("id")
             except Exception:
                 rid = None
-            resp = {"id": rid, "error": f"{type(exc).__name__}: {exc}"}
-        return json.dumps(resp)
+            return json.dumps(
+                {"id": rid, "error": f"{type(exc).__name__}: {exc}"})
 
     def _ready_banner(self) -> str:
         return json.dumps({"ready": True, "n_db": len(self.db),

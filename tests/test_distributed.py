@@ -87,6 +87,24 @@ def test_sharded_pallas_wide_mesh(mesh):
             w.score, w.end_location_query, w.end_location_target), i
 
 
+def test_sharded_split_balance(mesh):
+    """flat_sharded's per-device block split must be balanced: with 8
+    equal-mass blocks on an 8-device mesh every device gets exactly one
+    (regression: an exclusive cut left device 0 empty and doubled the
+    last device's load)."""
+    from opal_tpu.engine.pallas_kernels import T_CHUNK
+
+    rng = np.random.default_rng(5)
+    # equal-length sequences -> equal-mass blocks at block_size=4
+    db = [rng.integers(0, 4, size=T_CHUNK - 3, dtype=np.uint8)
+          for _ in range(32)]
+    eng = Engine(backend="xla", block_size=4, mesh=mesh)
+    ddb = eng.upload(db)
+    assert len(ddb.blocks) == 8
+    groups = ddb.flat_sharded()[0]
+    assert [len(g) for g in groups] == [1] * 8
+
+
 def test_shard_map_step(mesh):
     """The explicit shard_map step (query broadcast, lanes split)."""
     rng = np.random.default_rng(3)

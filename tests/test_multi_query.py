@@ -136,6 +136,41 @@ def test_cli_all_queries(tmp_path, capsys):
     assert "Query #" not in out
 
 
+def test_cli_all_queries_score_end(tmp_path, capsys):
+    """--all-queries -x 1 (the stacked score+end CLI branch): each query
+    section's result lines must equal its own single-query run."""
+    from opal_tpu import cli
+    from opal_tpu.matrices import ScoreMatrix
+
+    sm = ScoreMatrix.blosum50()
+    alpha = sm.alphabet
+    qf = tmp_path / "q.fa"
+    dbf = tmp_path / "db.fa"
+    rng = np.random.default_rng(61)
+    qtexts = ["".join(alpha[j] for j in rng.integers(0, 20, size=n))
+              for n in (18, 31)]
+    qf.write_text("".join(f">q{i}\n{t}\n" for i, t in enumerate(qtexts)))
+    dbf.write_text("".join(
+        f">t{i}\n" + "".join(alpha[j] for j in rng.integers(0, 20, size=40))
+        + "\n" for i in range(6)
+    ))
+    rc = cli.main(["--all-queries", "-x", "1", "--backend", "xla",
+                   str(qf), str(dbf)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    sections = out.split("Query #")[1:]
+    assert len(sections) == 2
+    for qi, sec in enumerate(sections):
+        got = [l for l in sec.splitlines() if l.startswith("#")
+               and not l.startswith("#<")]
+        sq = tmp_path / f"q{qi}.fa"
+        sq.write_text(f">q\n{qtexts[qi]}\n")
+        rc = cli.main(["-x", "1", "--backend", "xla", str(sq), str(dbf)])
+        want = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("#") and not l.startswith("#<")]
+        assert rc == 0 and got == want, qi
+
+
 @pytest.mark.parametrize("mode", [MODE_SW, MODE_NW, MODE_HW, MODE_OV])
 def test_stacked_kernel_score_end_matches_oracle_interpret(mode):
     """Score+end (x1) stacking: per-segment trackers (SW per-cell (m, c)
