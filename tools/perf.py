@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--search-type", type=int, default=0, choices=(0, 1),
                     help="0=score only (reference protocol), 1=score+end")
+    ap.add_argument("--multi", action="store_true",
+                    help="also time the 4 queries STACKED in one kernel "
+                    "pass per mode (search_database_multi_arrays) — "
+                    "compare against the sum of the per-query rows")
     args = ap.parse_args()
     st = SEARCH_SCORE if args.search_type == 0 else SEARCH_SCORE_END
 
@@ -57,12 +61,15 @@ def main():
     ddb = engine.upload(db)
 
     rows = []
+    loaded = []
     for qname in QUERIES:
         qpath = os.path.join(QUERY_DIR, f"{qname}.fasta")
         if not os.path.exists(qpath):
             continue
         qs, _ = read_fasta_file(qpath, lut)
-        query = qs[0]
+        loaded.append((qname, qs[0]))
+    seq_secs = {}  # mode -> summed per-query best seconds
+    for qname, query in loaded:
         for mode_name in args.modes.split(","):
             mode = MODE_CODES[mode_name]
             search_database_arrays(
@@ -78,6 +85,7 @@ def main():
                 )
                 times.append(time.perf_counter() - t0)
             best = min(times)
+            seq_secs[mode_name] = seq_secs.get(mode_name, 0.0) + best
             gcups = total * len(query) / best / 1e9
             rows.append({
                 "query": qname, "query_len": len(query), "mode": mode_name,
@@ -85,6 +93,33 @@ def main():
                 "seqs_per_sec": round(len(db) / best),
             })
             print(json.dumps(rows[-1]))
+
+    if args.multi:
+        from opal_tpu.engine.search import search_database_multi_arrays
+
+        queries = [q for _, q in loaded]
+        cells = total * sum(len(q) for q in queries)
+        for mode_name in args.modes.split(","):
+            mode = MODE_CODES[mode_name]
+            search_database_multi_arrays(
+                queries, ddb, 3, 1, sm.matrix, mode=mode,
+                search_type=st, engine=engine)  # warm-up/compile
+            times = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                search_database_multi_arrays(
+                    queries, ddb, 3, 1, sm.matrix, mode=mode,
+                    search_type=st, engine=engine)
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+            print(json.dumps({
+                "stacked": [n for n, _ in loaded], "mode": mode_name,
+                "seconds": round(best, 4),
+                "gcups": round(cells / best / 1e9, 2),
+                "sequential_seconds": round(seq_secs.get(mode_name, 0.0), 4),
+                "speedup_vs_sequential": round(
+                    seq_secs.get(mode_name, 0.0) / best, 3) if best else 0,
+            }))
     return 0
 
 
