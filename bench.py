@@ -98,7 +98,11 @@ def main():
     total_residues = sum(len(s) for s in db)
 
     backend = "pallas" if platform == "tpu" else "xla"
-    engine = Engine(backend=backend, block_size=2048)
+    # B=1024 is the measured v5e sweet spot at this query length (2048 was
+    # 13-25% slower in-process — VMEM/vreg working-set pressure; the 2048
+    # here predated that finding). BENCH_BLOCK overrides for A/B runs.
+    engine = Engine(backend=backend,
+                    block_size=int(os.environ.get("BENCH_BLOCK", "1024")))
 
     ddb = engine.upload(db)  # resident DB (excluded, like the reference's I/O)
 
