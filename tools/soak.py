@@ -56,11 +56,18 @@ Q_POOL_LONG = (1500, 3000, 6000, 13000)
 EDGE_LENS = (1, 2, 63, 64, 65, 127, 128, 129, 191, 320)
 
 
-def random_db(rng, n, A, max_len=260):
+# --tiny mode (pallas-interpret soaking on CPU): interpret-mode execution
+# is ~1000x slower per cell, so shrink every dimension to keep trials in
+# the seconds range while still crossing the T_CHUNK=64 chunk boundary.
+Q_POOL_TINY = (1, 15, 17, 64)
+EDGE_LENS_TINY = (1, 2, 63, 64, 65, 70)
+
+
+def random_db(rng, n, A, max_len=260, edge_lens=EDGE_LENS):
     lens = []
     for _ in range(n):
         if rng.random() < 0.35:
-            lens.append(int(rng.choice(EDGE_LENS)))
+            lens.append(int(rng.choice(edge_lens)))
         else:
             lens.append(int(rng.integers(1, max_len + 1)))
     return [rng.integers(0, A, size=m, dtype=np.uint8) for m in lens]
@@ -98,14 +105,18 @@ def random_gaps(rng):
     return go, ge
 
 
-def run_trial(seed, engine, long_queries=False):
+def run_trial(seed, engine, long_queries=False, tiny=False):
     rng = np.random.default_rng(seed)
     A, matrix = random_matrix(rng)
     go, ge = random_gaps(rng)
-    Q = int(rng.choice(Q_POOL_LONG if long_queries else Q_POOL))
+    pool = (Q_POOL_TINY if tiny
+            else Q_POOL_LONG if long_queries else Q_POOL)
+    Q = int(rng.choice(pool))
     query = rng.integers(0, A, size=Q, dtype=np.uint8)
-    n = int(rng.integers(10, 120))
-    db = random_db(rng, n, A)
+    n = int(rng.integers(6, 25)) if tiny else int(rng.integers(10, 120))
+    db = random_db(rng, n, A,
+                   max_len=80 if tiny else 260,
+                   edge_lens=EDGE_LENS_TINY if tiny else EDGE_LENS)
     mode = int(rng.choice(MODES))
     kind = rng.random()
 
@@ -151,7 +162,7 @@ def run_trial(seed, engine, long_queries=False):
             return "skip-multi"
         st = SEARCH_SCORE if rng.random() < 0.5 else SEARCH_SCORE_END
         nq = int(rng.integers(2, 7))
-        queries = [rng.integers(0, A, size=int(rng.choice(Q_POOL)),
+        queries = [rng.integers(0, A, size=int(rng.choice(pool)),
                                 dtype=np.uint8) for _ in range(nq)]
         outs = search_database_multi_arrays(
             queries, db, go, ge, matrix, mode=mode,
@@ -197,6 +208,10 @@ def main():
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--long", action="store_true",
                     help="long-query pool (downshift / narrow-width paths)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny problem sizes: makes --backend "
+                    "pallas-interpret soaking feasible on CPU (use with "
+                    "--block-size 128)")
     args = ap.parse_args()
 
     engine = Engine(backend=args.backend, block_size=args.block_size)
@@ -205,7 +220,8 @@ def main():
     t0 = time.time()
     for k, s in enumerate(seeds):
         try:
-            tag = run_trial(int(s), engine, long_queries=args.long)
+            tag = run_trial(int(s), engine, long_queries=args.long,
+                            tiny=args.tiny)
         except Exception:
             print(f"FAIL trial {k} seed {int(s)}")
             traceback.print_exc()
