@@ -38,6 +38,10 @@ REF_DATA = "/root/reference/test_data"
 def pytest_configure(config):
     config.addinivalue_line("markers", "tpu: needs real TPU hardware")
     config.addinivalue_line("markers", "slow: long-running test")
+    config.addinivalue_line(
+        "markers",
+        "timeout(seconds): wall budget; enforced by pytest-timeout when "
+        "installed (the marked tests also bound their own subprocesses)")
 
 
 def pytest_collection_modifyitems(config, items):
