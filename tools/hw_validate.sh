@@ -26,6 +26,7 @@ run perf_x0         2400 python tools/perf.py
 run perf_x1         2400 python tools/perf.py --search-type 1
 run perf_multi      2400 python tools/perf.py --multi --repeats 2
 run bench           1800 python bench.py
+run ab_block        2400 python tools/ab_block.py
 run soak_500        3600 python tools/soak.py --trials 500
 run compare_ref     1200 python tools/compare_vs_reference.py \
     /root/reference/test_data/query/P19930.fasta \
