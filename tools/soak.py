@@ -204,6 +204,10 @@ def main():
     ap.add_argument("--trials", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--precision", default="int32",
+                    choices=("int32", "adaptive"),
+                    help="adaptive soaks the precision-cascade driver "
+                    "(char->short->int rerun bookkeeping) too")
     ap.add_argument("--block-size", type=int, default=256)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--long", action="store_true",
@@ -214,7 +218,8 @@ def main():
                     "--block-size 128)")
     args = ap.parse_args()
 
-    engine = Engine(backend=args.backend, block_size=args.block_size)
+    engine = Engine(backend=args.backend, block_size=args.block_size,
+                    precision=args.precision)
     root = np.random.SeedSequence(args.seed)
     seeds = root.generate_state(args.trials)
     t0 = time.time()
