@@ -91,7 +91,7 @@ class PallasBackend:
                 np.asarray(qprofile))
 
     def _sharded(self, mode, search_type, Q, go, ge, B, with_flags,
-                 out_i16, mesh):
+                 out_i16, mesh, sw_end_packed=False):
         """Mesh path: the ragged single-launch kernel wrapped in shard_map.
 
         Each device runs the UNMODIFIED single-chip pallas program on its
@@ -106,13 +106,14 @@ class PallasBackend:
 
         from ..parallel.shard import DB_AXIS
 
-        key = (mode, search_type, Q, go, ge, B, with_flags, out_i16, mesh)
+        key = (mode, search_type, Q, go, ge, B, with_flags, out_i16, mesh,
+               sw_end_packed)
         fn = self._sharded_cache.get(key)
         if fn is None:
             raw = pk.build_pallas_ragged_fn_raw(
                 mode, search_type, Q, go, ge, B=B,
                 with_flags=with_flags, interpret=self.interpret,
-                out_i16=out_i16,
+                out_i16=out_i16, sw_end_packed=sw_end_packed,
             )
 
             def local(meta, qp, letters, lengths):
@@ -160,28 +161,33 @@ class PallasBackend:
         if not ddb.blocks:
             return ("ragged", None)
         B = ddb.block_size
+        absmax = int(np.abs(qprofile_np).max()) if Q else 0
+        from ..constants import MODE_SW as _SW
+        from ..constants import SEARCH_SCORE as _SCORE
+
+        packed = (mode == _SW and search_type != _SCORE
+                  and pk.sw_end_packed_ok(Q, absmax, int(gap_ext)))
         if not self.supports(
             Q, gap_open, gap_ext, B, A=qprofile_np.shape[0],
-            arrays=pk.n_state_arrays(mode, search_type, with_flags),
+            arrays=pk.n_state_arrays(mode, search_type, with_flags, packed),
         ):
             xq = self._fallback.prepare_query(qprofile_np, gap_open, gap_ext)
             return ("xla", self._fallback.dispatch_many(
                 xq, ddb, gap_open, gap_ext, mode, search_type, with_flags))
-        absmax = int(np.abs(qprofile_np).max()) if Q else 0
         out_i16 = self._out_i16_ok(Q, absmax, int(gap_open), int(gap_ext),
                                    search_type, with_flags, ddb.max_len)
         if ddb.mesh is not None:
             # per-device ragged streams under shard_map (see _sharded)
             fn = self._sharded(mode, search_type, Q, int(gap_open),
                                int(gap_ext), B, with_flags, out_i16,
-                               ddb.mesh)
+                               ddb.mesh, sw_end_packed=packed)
             dev_blocks, meta, letters, lengths = ddb.flat_sharded()
             out = fn(meta, qp_dev, letters, lengths)
             return ("sharded", (dev_blocks, out))
         fn = pk.build_pallas_ragged_fn(
             mode, search_type, Q, int(gap_open), int(gap_ext), B=B,
             with_flags=with_flags, interpret=self.interpret,
-            out_i16=out_i16,
+            out_i16=out_i16, sw_end_packed=packed,
         )
         # Pipeline the device->host result download behind compute: split
         # the stream into equal-shaped parts (one compiled kernel serves

@@ -59,6 +59,7 @@ via strict-improvement updates and first-argmax row selection.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -114,16 +115,45 @@ def _compiler_params(interpret: bool, big_state: bool = False):
     )
 
 
-def n_state_arrays(mode: int, search_type: int, with_flags: bool) -> int:
+def n_state_arrays(mode: int, search_type: int, with_flags: bool,
+                   sw_end_packed: bool = False) -> int:
     """[Q_pad, B] f32 VMEM scratch arrays a config needs (H, E, + extras):
     SW keeps a running elementwise max m; SW with end tracking adds the
     per-cell first-attainment column c (see _kernel_body's SW tracker
-    notes); OV with end tracking keeps the end-column snapshot (score-only
-    OV snapshots a [1,B] colmax instead)."""
+    notes) — unless the packed-key scheme applies, which replaces BOTH m
+    and c with one key array (see sw_end_packed_ok); OV with end tracking
+    keeps the end-column snapshot (score-only OV snapshots a [1,B] colmax
+    instead)."""
     if mode == MODE_SW:
-        return 3 if search_type == SEARCH_SCORE else 4
+        if search_type == SEARCH_SCORE or sw_end_packed:
+            return 3
+        return 4
     ov_end = mode == MODE_OV and search_type != SEARCH_SCORE
     return 3 if ov_end else 2
+
+
+def sw_end_packed_ok(Q: int, absmax: int, ge: int) -> bool:
+    """May SW end tracking use the packed-key scheme?
+
+    The scheme packs (ramped H, column-within-chunk) into ONE f32 per cell:
+    key = H~ + (TC-1-tt)/TC, a 6-bit fraction below integer-valued H~. A
+    single running max per column then encodes, per cell, the running max
+    of H~ AND its first-attainment column within the chunk (DP values are
+    integers, so a strict improvement is >= 1 and always dominates the
+    fraction; among equal H~ the earlier column's larger fraction wins).
+    A once-per-chunk merge reduces the per-chunk keys into [1, B] lane
+    trackers (best, end_q, end_t), replicating the reference tie-break —
+    best score at smallest end_t, then smallest end_q (src/opal.h:44-46).
+
+    Exactness needs bits(H~) + 6 <= 24 (f32 mantissa): max H~ =
+    SW score bound + ramp <= Q*absmax + Q_pad*ge < 2^18. Configs beyond
+    the bound (long queries x large matrices) use the classic per-cell
+    (m, c) scheme. OPAL_TPU_SW_END_PACKED=0/1 overrides for A/B runs."""
+    ov = os.environ.get("OPAL_TPU_SW_END_PACKED")
+    if ov in ("0", "1"):
+        return ov == "1"
+    Q_pad = _round_up(max(Q, 16), 16)
+    return Q * absmax + Q_pad * ge + 64 < 2**18
 
 
 def max_q_pad(B: int, arrays: int = 3) -> int:
@@ -179,6 +209,7 @@ def _kernel(
     qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, *rest,
     mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge, out_rows,
     is_first, is_last, chunk_t0, active=None, out_i16=False,
+    sw_end_packed=False,
 ):
     # One grid step advances TC DP columns of one lane-block. State resets
     # when is_first (block's first chunk) and trackers emit when is_last;
@@ -197,6 +228,7 @@ def _kernel(
                 with_flags=with_flags, Q=Q, Q_pad=Q_pad, TC=TC, B=B,
                 go=go, ge=ge, out_rows=out_rows, is_first=is_first,
                 is_last=is_last, chunk_t0=chunk_t0, out_i16=out_i16,
+                sw_end_packed=sw_end_packed,
             )
         return
     _kernel_body(
@@ -204,26 +236,28 @@ def _kernel(
         mode=mode, track_end=track_end, with_flags=with_flags, Q=Q,
         Q_pad=Q_pad, TC=TC, B=B, go=go, ge=ge, out_rows=out_rows,
         is_first=is_first, is_last=is_last, chunk_t0=chunk_t0,
-        out_i16=out_i16,
+        out_i16=out_i16, sw_end_packed=sw_end_packed,
     )
 
 
 def _kernel_body(
     qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, *rest,
     mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge, out_rows,
-    is_first, is_last, chunk_t0, out_i16=False,
+    is_first, is_last, chunk_t0, out_i16=False, sw_end_packed=False,
 ):
     sw = mode == MODE_SW
     lean_sw = sw and not track_end
     sw_end = sw and track_end
+    sw_packed = sw_end and sw_end_packed
     has_m = sw or (mode == MODE_OV and track_end)
-    c_ref = None
-    if sw_end:
+    c_ref = key_ref = m_ref = None
+    if sw_packed:
+        key_ref, l32_ref, tr_ref = rest
+    elif sw_end:
         m_ref, c_ref, l32_ref, tr_ref = rest
     elif has_m:
         m_ref, l32_ref, tr_ref = rest
     else:
-        m_ref = None
         l32_ref, tr_ref = rest
     i32 = jnp.int32
     f32 = jnp.float32
@@ -243,7 +277,9 @@ def _kernel_body(
         else:
             h_ref[:] = jnp.full((Q_pad, B), -go, f32)   # H = -go - r*Ge, ramped
         e_ref[:] = ramp if sw else jnp.full((Q_pad, B), NEG, f32)
-        if sw:
+        if sw_packed:
+            key_ref[:] = jnp.full((Q_pad, B), float(NEG), f32)
+        elif sw:
             m_ref[:] = ramp                       # running max of H~, init H~
             if sw_end:
                 c_ref[:] = jnp.zeros((Q_pad, B), f32)
@@ -352,11 +388,19 @@ def _kernel_body(
             # smallest end_q, src/opal.h:44-46) resolves once at emit from
             # (m, c). This replaced a per-column colmax+argmax scheme that
             # trailed score-only by 25-30%.
-            if sw_end:
-                c_ref[:] = jnp.where(
-                    Hnew > m_ref[:], t.astype(f32), c_ref[:]
-                )
-            m_ref[:] = jnp.maximum(m_ref[:], Hnew)
+            if sw_packed:
+                # packed-key scheme (see sw_end_packed_ok): one runmax per
+                # column carries (running max of H~, first-attainment
+                # column within this chunk) in a single array — the same
+                # per-column VMEM traffic as score-only.
+                frac = (TC - 1 - tt).astype(f32) * (1.0 / TC)
+                key_ref[:] = jnp.maximum(key_ref[:], Hnew + frac)
+            else:
+                if sw_end:
+                    c_ref[:] = jnp.where(
+                        Hnew > m_ref[:], t.astype(f32), c_ref[:]
+                    )
+                m_ref[:] = jnp.maximum(m_ref[:], Hnew)
         else:
             valid = t < lengths          # [1, B]
             is_end = t == lengths - 1    # [1, B]
@@ -440,6 +484,42 @@ def _kernel_body(
             writeback(jax.lax.fori_loop(
                 0, TC, lambda tt, c: column(tt, c, False), init))
 
+    if sw_packed:
+        # Once-per-chunk merge of the packed keys into the [1, B] lane
+        # trackers. Decode (m~ = floor(key), first column = TC-1 -
+        # 64*frac); a strict per-lane improvement updates (best, end_q,
+        # end_t) from this chunk's eligible cells. Pad columns can never
+        # strictly precede a real attainment of an improving value (their
+        # profile is PAD_NEG, so new values are only created in real
+        # columns; propagated values never strictly improve), and a
+        # non-improving chunk (all pad, or go==ge==0 plateaus) keeps the
+        # earlier chunk's record — exactly the reference's first-strict-
+        # improvement tie-break (src/opal.cpp:306-314,384-401).
+        key = key_ref[:]
+        mf = jnp.floor(key)
+        m_u = jnp.where(row_valid, mf - ramp, float(NEG))
+        chunk_best = jnp.max(m_u, axis=0, keepdims=True)
+        c_cell = chunk_t0.astype(f32) + (float(TC - 1) - (key - mf) * TC)
+        elig = m_u == chunk_best
+        big = float(2**30)
+        end_t = jnp.min(
+            jnp.where(elig, c_cell, big), axis=0, keepdims=True
+        )
+        end_q = jnp.min(
+            jnp.where(elig & (c_cell == end_t), row_f, big),
+            axis=0, keepdims=True,
+        )
+        prev = tr_ref[TR_BEST : TR_BEST + 1]
+        improved = chunk_best > prev
+        tr_ref[pl.ds(TR_BEST, 1), :] = jnp.where(improved, chunk_best, prev)
+        tr_ref[pl.ds(TR_BEST_R, 1), :] = jnp.where(
+            improved, end_q, tr_ref[TR_BEST_R : TR_BEST_R + 1]
+        )
+        tr_ref[pl.ds(TR_BEST_C, 1), :] = jnp.where(
+            improved, end_t, tr_ref[TR_BEST_C : TR_BEST_C + 1]
+        )
+        key_ref[:] = jnp.full((Q_pad, B), float(NEG), f32)
+
     @pl.when(is_last())
     def _emit():
         # un-ramp the [1,B] trackers that live in ramped space
@@ -448,6 +528,8 @@ def _kernel_body(
             tr_ref[pl.ds(TR_BEST, 1), :] = jnp.max(
                 m_ref[:] - ramp, axis=0, keepdims=True
             )
+        elif sw_packed:
+            pass  # lane trackers are final and unramped (per-chunk merge)
         elif sw_end:
             # Resolve (score, end_t, end_q) from the per-cell running max m
             # and first-attainment column c. Eligible cells are those that
@@ -522,6 +604,7 @@ def build_pallas_score_fn_raw(
     with_flags: bool = False,
     interpret: bool = False,
     out_i16: bool = False,
+    sw_end_packed: bool = False,
 ):
     """Unjitted fn(qp_bf16[Q_pad, A_PAD], letters[G, T, B] i8,
     lengths[G, 1, B] i32) -> selected trackers [G, n_rows, B] i32
@@ -532,14 +615,14 @@ def build_pallas_score_fn_raw(
         raise ValueError("pallas path requires gap_ext <= gap_open")
     track_end = search_type != SEARCH_SCORE
     Q_pad = _round_up(max(Q, 16), 16)
-    arrays = n_state_arrays(mode, search_type, with_flags)
+    arrays = n_state_arrays(mode, search_type, with_flags, sw_end_packed)
     if Q_pad > max_q_pad(B, arrays):
         raise ValueError(
             f"query too long for pallas path at lane width {B} ({Q}); "
             f"use a smaller Engine block_size"
         )
     out_rows = tracker_rows(mode, search_type, with_flags)
-    n_extra = arrays - 2  # m (SW / OV-end) and c (SW end tracking)
+    n_extra = arrays - 2  # m (SW / OV-end), c (SW end), or the packed key
 
     def fn(qp, letters, lengths):
         """letters: [G, T, B] int8 (G lane-blocks sharing padded length T,
@@ -558,6 +641,7 @@ def build_pallas_score_fn_raw(
             mode=mode, track_end=track_end, with_flags=with_flags,
             Q=Q, Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
             out_rows=out_rows, out_i16=out_i16,
+            sw_end_packed=sw_end_packed,
             is_first=lambda: pl.program_id(1) == 0,
             is_last=lambda: pl.program_id(1) == pl.num_programs(1) - 1,
             chunk_t0=lambda: pl.program_id(1) * T_CHUNK,
@@ -613,6 +697,7 @@ def build_pallas_ragged_fn_raw(
     with_flags: bool = False,
     interpret: bool = False,
     out_i16: bool = False,
+    sw_end_packed: bool = False,
 ):
     """Whole-database scorer in ONE pallas_call over a ragged chunk stream.
 
@@ -635,13 +720,13 @@ def build_pallas_ragged_fn_raw(
         raise ValueError("pallas path requires gap_ext <= gap_open")
     track_end = search_type != SEARCH_SCORE
     Q_pad = _round_up(max(Q, 16), 16)
-    arrays = n_state_arrays(mode, search_type, with_flags)
+    arrays = n_state_arrays(mode, search_type, with_flags, sw_end_packed)
     if Q_pad > max_q_pad(B, arrays):
         raise ValueError(
             f"query too long for pallas path at lane width {B} ({Q})"
         )
     out_rows = tracker_rows(mode, search_type, with_flags)
-    n_extra = arrays - 2  # m (SW / OV-end) and c (SW end tracking)
+    n_extra = arrays - 2  # m (SW / OV-end), c (SW end), or the packed key
 
     def fn(meta, qp, letters, lengths):
         C = letters.shape[0]
@@ -654,6 +739,7 @@ def build_pallas_ragged_fn_raw(
                 mode=mode, track_end=track_end, with_flags=with_flags,
                 Q=Q, Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
                 out_rows=out_rows, out_i16=out_i16,
+                sw_end_packed=sw_end_packed,
                 is_first=lambda: meta_ref[1, c] == 1,
                 is_last=lambda: meta_ref[2, c] == 1,
                 chunk_t0=lambda: meta_ref[3, c],

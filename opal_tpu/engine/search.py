@@ -142,12 +142,14 @@ class Engine:
         B_eff = self.config.block_size
         pick = getattr(backend, "preferred_block_size", None)
         if pick is not None and self.config.mesh is None:
-            from .pallas_kernels import n_state_arrays
+            from .pallas_kernels import n_state_arrays, sw_end_packed_ok
 
             absmax = int(np.abs(qprofile).max()) if Q else 0
+            packed = (mode == MODE_SW and search_type != SEARCH_SCORE
+                      and sw_end_packed_ok(Q, absmax, int(gap_ext)))
             B_eff = pick(
                 Q, int(gap_open), int(gap_ext), qprofile.shape[0], absmax,
-                n_state_arrays(mode, search_type, with_flags),
+                n_state_arrays(mode, search_type, with_flags, packed),
                 self.config.block_size,
             )
 
