@@ -12,6 +12,7 @@ way the reference's docs recommend sorting the DB for lane efficiency
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -66,7 +67,20 @@ def plan_blocks(db, batch: int, subset=None) -> list[Block]:
     for s in range(0, idx.size, batch):
         part = idx[s : s + batch]
         maxlen = max(len(db[i]) for i in part)
-        t_pad = pad_bucket(int(maxlen))
+        # Exact block length (quantum 1): the ragged pallas stream runs the
+        # last chunk of each block with a data-driven column count (meta
+        # ncols), so block padding need not reach the T_CHUNK=64 boundary —
+        # at Swiss-Prot scale the 64-quantum wasted 7.8% of all DP columns
+        # (the dominant padding term; spread under length sorting is 0.9%).
+        # Measured on v5e, in-process: quantum 1 = 106.4 vs 64 = 99.4 GCUPS
+        # (+5-7%), bit-identical scores. Stream/group SHAPES are unaffected
+        # (streams are [C, 64, B] regardless; the XLA path re-rounds groups
+        # to its own quantum). OPAL_TPU_T_QUANTUM overrides (64 restores
+        # the pre-ncols packing for in-process A/B, tools/ab_ncols.py).
+        t_pad = pad_bucket(
+            int(maxlen),
+            quantum=int(os.environ.get("OPAL_TPU_T_QUANTUM", "1")),
+        )
         # Padding (lanes and columns) carries the reserved PAD_LETTER: its
         # profile entries are large-negative, so padded DP cells can never
         # beat real cells — the pallas path's score-only trackers rely on

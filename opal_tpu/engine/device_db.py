@@ -103,24 +103,39 @@ class DeviceDatabase:
         return -(-n // step) * step
 
     def _build_stream_np(self, blocks, c_pad, nb_pad):
-        """Host-side (meta[5, C], letters[C, TC, B], lengths[NB, 1, B])
+        """Host-side (meta[6, C], letters[C, TC, B], lengths[NB, 1, B])
         chunk stream for `blocks` (meta block indices are positions within
-        `blocks`), padded with inert chunks to exactly (c_pad, nb_pad)."""
+        `blocks`), padded with inert chunks to exactly (c_pad, nb_pad).
+        Meta rows: (block, is-first, is-last, t0, active, ncols); ncols
+        lets the kernel run a block's LAST chunk over only its real
+        t_pad - t0 columns, so block padding stops at the fine
+        plan_blocks quantum instead of the 64-column chunk boundary
+        (the skipped tail columns are pure algebraic padding — results
+        are bit-identical, the compute is simply not done)."""
         from .pallas_kernels import T_CHUNK
 
         parts, metas = [], []
         lengths = np.zeros((nb_pad, 1, self.block_size), np.int32)
         for bi, blk in enumerate(blocks):
             t_pad = blk.letters.shape[0]
-            assert t_pad % T_CHUNK == 0, t_pad
-            nch = t_pad // T_CHUNK
-            parts.append(blk.letters.reshape(nch, T_CHUNK, -1))
-            m = np.zeros((nch, 5), np.int32)
+            nch = -(-t_pad // T_CHUNK)
+            full = nch * T_CHUNK
+            lett = blk.letters
+            if full != t_pad:
+                lett = np.concatenate([
+                    lett,
+                    np.full((full - t_pad, self.block_size), PAD_LETTER,
+                            np.int8),
+                ], axis=0)
+            parts.append(lett.reshape(nch, T_CHUNK, -1))
+            m = np.zeros((nch, 6), np.int32)
             m[:, 0] = bi
             m[0, 1] = 1
             m[-1, 2] = 1
             m[:, 3] = np.arange(nch, dtype=np.int32) * T_CHUNK
             m[:, 4] = 1  # active
+            m[:, 5] = T_CHUNK
+            m[-1, 5] = t_pad - (nch - 1) * T_CHUNK  # real cols in last chunk
             metas.append(m)
             lengths[bi, 0] = blk.lengths
         c_real = sum(p.shape[0] for p in parts)
@@ -129,12 +144,12 @@ class DeviceDatabase:
             parts.append(np.zeros(
                 (c_pad - c_real, T_CHUNK, self.block_size), np.int8
             ))
-            dm = np.zeros((c_pad - c_real, 5), np.int32)
+            dm = np.zeros((c_pad - c_real, 6), np.int32)
             dm[:, 0] = nb_pad - 1  # trash output row, never emitted
             metas.append(dm)       # active=0: kernel skips them
         letters = np.concatenate(parts, axis=0)
         meta = np.concatenate(metas, axis=0)
-        # [5, C] layout: scalar-prefetch SMEM pads the minor dim to a
+        # [6, C] layout: scalar-prefetch SMEM pads the minor dim to a
         # full lane stripe, so the minor dim must be the long one.
         meta = np.ascontiguousarray(meta.T)
         return meta, letters, lengths
@@ -170,7 +185,7 @@ class DeviceDatabase:
             nb = len(self.blocks)
             nb_pad = self._quantize(max(nb + 1, 2))  # +1 trash row
             c_real = sum(
-                blk.letters.shape[0] // T_CHUNK for blk in self.blocks
+                -(-blk.letters.shape[0] // T_CHUNK) for blk in self.blocks
             )
             c_pad = self._quantize(max(c_real, 1))
             self._flat = self._build_stream(self.blocks, c_pad, nb_pad)
@@ -183,7 +198,7 @@ class DeviceDatabase:
         device (balanced by chunk mass), each group is built as its own
         flat()-style stream padded to a COMMON (c_pad, nb_pad), and the
         streams are stacked along a leading device axis sharded over the
-        mesh: meta [D, 5, C], letters [D, C, TC, B], lengths [D, NB, 1, B].
+        mesh: meta [D, 6, C], letters [D, C, TC, B], lengths [D, NB, 1, B].
         A shard_map-wrapped ragged kernel then runs the unmodified
         single-chip pallas program per device — data parallelism over the
         database with zero cross-device traffic in the hot loop (the TPU
@@ -200,7 +215,7 @@ class DeviceDatabase:
 
         D = int(np.prod(self.mesh.devices.shape))
         nch = np.array(
-            [blk.letters.shape[0] // T_CHUNK for blk in self.blocks],
+            [-(-blk.letters.shape[0] // T_CHUNK) for blk in self.blocks],
             np.int64,
         )
         total = int(nch.sum())
@@ -218,7 +233,7 @@ class DeviceDatabase:
             lo = cut
         groups.append(self.blocks[lo:])
         c_pad = self._quantize(max(
-            (sum(blk.letters.shape[0] // T_CHUNK for blk in g)
+            (sum(-(-blk.letters.shape[0] // T_CHUNK) for blk in g)
              for g in groups), default=1) or 1)
         nb_pad = self._quantize(
             max(max((len(g) for g in groups), default=0) + 1, 2))
@@ -252,7 +267,7 @@ class DeviceDatabase:
             return cached[1]
         from .pallas_kernels import T_CHUNK
 
-        nch = [blk.letters.shape[0] // T_CHUNK for blk in self.blocks]
+        nch = [-(-blk.letters.shape[0] // T_CHUNK) for blk in self.blocks]
         total = sum(nch)
         # contiguous split at ~equal chunk mass: cut after the block whose
         # prefix mass first reaches j*total/k, guaranteeing every part gets
@@ -271,7 +286,7 @@ class DeviceDatabase:
         groups.append(self.blocks[lo:])
         assert all(groups), [len(g) for g in groups]
         c_pad = self._quantize(max(
-            sum(blk.letters.shape[0] // T_CHUNK for blk in g)
+            sum(-(-blk.letters.shape[0] // T_CHUNK) for blk in g)
             for g in groups))
         nb_pad = self._quantize(max(max(len(g) for g in groups) + 1, 2))
         out = [
