@@ -64,8 +64,15 @@ def plan_blocks(db, batch: int, subset=None) -> list[Block]:
     idx = idx[order]
 
     blocks = []
-    for s in range(0, idx.size, batch):
-        part = idx[s : s + batch]
+    # When n is not a multiple of the lane count, make the FIRST block the
+    # partial one: ascending length order would otherwise leave the empty
+    # lanes in the LAST block, which holds the longest sequences — at
+    # Swiss-Prot scale those ~1k empty lanes × a ~5k-column t_pad were
+    # 2.2% of all padded DP cells; on the shortest block they are ~0.01%.
+    first = idx.size % batch or batch
+    starts = [0] + list(range(first, idx.size, batch))
+    for j, s in enumerate(starts):
+        part = idx[s : s + (first if j == 0 else batch)]
         maxlen = max(len(db[i]) for i in part)
         # Exact block length (quantum 1): the ragged pallas stream runs the
         # last chunk of each block with a data-driven column count (meta
