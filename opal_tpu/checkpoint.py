@@ -110,6 +110,7 @@ class Checkpoint:
                     f.write(json.dumps({"v": _V, "key": key}) + "\n")
                     f.flush()
                     os.fsync(f.fileno())
+                    self._reap_orphan_sidecars()
                     return
                 if header.get("key") != key:
                     raise ValueError(
@@ -143,6 +144,30 @@ class Checkpoint:
                 f.write(json.dumps({"v": _V, "key": key}) + "\n")
                 f.flush()
                 os.fsync(f.fileno())
+        self._reap_orphan_sidecars()
+
+    def _reap_orphan_sidecars(self) -> None:
+        """Delete this journal's sidecar files that no surviving record
+        references. Torn-header recreation, torn-tail truncation, and
+        'remove the journal and restart' recovery all orphan sidecars
+        otherwise (multi-MB .chunkNNNNNN.json.gz files accumulating
+        forever next to restarted large -x 2 runs)."""
+        import glob
+
+        referenced = {
+            e[1] for e in self._done.values()
+            if isinstance(e, tuple) and e[0] == "ext"
+        }
+        d = os.path.dirname(os.path.abspath(self.path))
+        base = os.path.basename(self.path)
+        pattern = os.path.join(
+            glob.escape(d), glob.escape(base) + ".chunk*.json.gz")
+        for p in glob.glob(pattern):
+            if os.path.basename(p) not in referenced:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass  # best-effort hygiene; never block a resume
 
     def has(self, chunk: int) -> bool:
         return chunk in self._done

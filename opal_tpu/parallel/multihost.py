@@ -152,6 +152,21 @@ class MultiHostSearch:
             rows.append(base)
         return rows
 
+    @staticmethod
+    def _pack_ops_rows(local_ops, n_rows, width):
+        """Pack per-winner alignment records into fixed-width int32 rows
+        [start_q, start_t, op_len, ops...]; -2 marks "not mine" (another
+        host owns the winner), op_len -1 marks score-only/no-path. One
+        packer serves both the allgather and single-process branches so
+        the record layout cannot drift between them."""
+        buf = np.full((n_rows, 3 + width), -2, np.int32)
+        for j, (sq, st, ops) in local_ops.items():
+            n = 0 if ops is None else len(ops)
+            buf[j, :3] = (sq, st, n if ops is not None else -1)
+            if n:
+                buf[j, 3 : 3 + n] = ops
+        return buf
+
     def search_aligned(self, query, mode: int = MODE_SW, top_k: int = 10):
         """Global top-k full-alignment search (the multihost analog of
         SEARCH_ALIGNMENT + align_top_k): one score+end pass over every
@@ -208,13 +223,7 @@ class MultiHostSearch:
             all_max = np.asarray(multihost_utils.process_allgather(
                 np.array([local_max], np.int32)))
             width = int(all_max.max())
-            # rows: [start_q, start_t, op_len, ops...]; -2 marks "not mine"
-            buf = np.full((len(winners), 3 + width), -2, np.int32)
-            for j, (sq, st, ops) in local_ops.items():
-                n = 0 if ops is None else len(ops)
-                buf[j, :3] = (sq, st, n if ops is not None else -1)
-                if n:
-                    buf[j, 3 : 3 + n] = ops
+            buf = self._pack_ops_rows(local_ops, len(winners), width)
             gathered = np.asarray(
                 multihost_utils.process_allgather(buf)
             ).reshape(self.process_count, len(winners), 3 + width)
@@ -225,12 +234,7 @@ class MultiHostSearch:
                 (0 if o is None else len(o) for _, _, o in local_ops.values()),
                 default=0,
             )
-            merged = np.full((len(winners), 3 + width), -2, np.int32)
-            for j, (sq, st, ops) in local_ops.items():
-                n = 0 if ops is None else len(ops)
-                merged[j, :3] = (sq, st, n if ops is not None else -1)
-                if n:
-                    merged[j, 3 : 3 + n] = ops
+            merged = self._pack_ops_rows(local_ops, len(winners), width)
 
         for j, w in enumerate(winners):
             sq, st, n = (int(merged[j, 0]), int(merged[j, 1]),

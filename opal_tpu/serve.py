@@ -73,23 +73,38 @@ class Server:
              mode: int = MODE_SW) -> None:
         """Pre-compile the kernel shapes for the given query lengths (the
         first search per 16-quantized length pays tens of seconds of XLA
-        compile otherwise). Compiles both score-only and score+end kernels
-        so plain and align=true requests at the default mode/gaps are both
-        covered. Call at startup with the lengths your serving traffic
-        uses; with a persistent compilation cache this is a one-off per
+        compile otherwise). Compiles score-only and score+end single-query
+        kernels per length, plus the STACKED multi-query kernels for the
+        batch of all given lengths (multi-query and batched align=true
+        requests use _kernel_multi, whose compile is keyed by the
+        16-quantized length COMBINATION — warming covers the given
+        combination and, via the cache, any request batch with the same
+        quantized lengths; other combinations still compile on first
+        use). Call at startup with the lengths your serving traffic uses;
+        with a persistent compilation cache this is a one-off per
         deployment."""
         from .constants import SEARCH_SCORE_END
-        from .engine.search import search_database_arrays
+        from .engine.search import (
+            search_database_arrays,
+            search_database_multi_arrays,
+        )
 
         rng = np.random.default_rng(0)
         A = self.sm.matrix.shape[0]
-        for L in lengths:
-            q = rng.integers(0, A, size=int(L), dtype=np.uint8)
+        qs = [rng.integers(0, A, size=int(L), dtype=np.uint8)
+              for L in lengths]
+        for q in qs:
             for st in (SEARCH_SCORE, SEARCH_SCORE_END):
                 search_database_arrays(
                     q, self.ddb, gap_open, gap_ext, self.sm.matrix,
                     mode=mode, search_type=st, engine=self.engine,
                 )
+        batch = qs if len(qs) >= 2 else qs * 2  # stacking needs >= 2
+        for st in (SEARCH_SCORE, SEARCH_SCORE_END):
+            search_database_multi_arrays(
+                batch, self.ddb, gap_open, gap_ext, self.sm.matrix,
+                mode=mode, search_type=st, engine=self.engine,
+            )
 
     def _encode_query(self, s: str) -> np.ndarray:
         if not s:

@@ -145,6 +145,46 @@ def test_checkpoint_sidecar_roundtrip(tmp_path, monkeypatch):
     assert all((r.alignment == rs[0].alignment).all() for r in got)
 
 
+def test_checkpoint_orphan_sidecars_reaped(tmp_path, monkeypatch):
+    """Torn-header recovery, torn-tail truncation, and journal removal all
+    orphan sidecar files; opening the journal must delete the unreferenced
+    ones (and only those) instead of letting multi-MB blobs accumulate."""
+    import os
+
+    from opal_tpu.checkpoint import Checkpoint
+    from opal_tpu.result import SearchResult
+
+    monkeypatch.setattr(Checkpoint, "SIDECAR_BYTES", 64)
+    p = str(tmp_path / "ck.jsonl")
+    ck = Checkpoint(p, "k1")
+    r = SearchResult()
+    r.set_score(5)
+    r.alignment = np.zeros(40, np.uint8)
+    r.alignment_length = 40
+    ck.save(0, [[r]])
+    ck.save(1, [[r]])
+    sidecars = sorted(tmp_path.glob("ck.jsonl.chunk*.json.gz"))
+    assert len(sidecars) == 2
+    # torn tail: drop chunk 1's journal line -> its sidecar is orphaned
+    lines = open(p).read().splitlines(keepends=True)
+    with open(p, "w") as f:
+        f.writelines(lines[:2])
+        f.write('{"torn')  # unterminated tail record
+    ck2 = Checkpoint(p, "k1")
+    assert ck2.has(0) and not ck2.has(1)
+    left = sorted(tmp_path.glob("ck.jsonl.chunk*.json.gz"))
+    assert len(left) == 1 and "chunk000000" in left[0].name
+    # journal removed entirely: a fresh journal reaps all old sidecars
+    os.remove(p)
+    Checkpoint(p, "k2")
+    assert not list(tmp_path.glob("ck.jsonl.chunk*.json.gz"))
+    # unrelated files (other journals' sidecars) are untouched
+    other = tmp_path / "other.jsonl.chunk000000.json.gz"
+    other.write_bytes(b"x")
+    Checkpoint(p, "k2")
+    assert other.exists()
+
+
 def test_gzip_chunked_read_no_seek(tmp_path, sm):
     """Multi-chunk reads of a gzipped DB must use pushback, not backward
     seeks (O(n^2) decompression otherwise), and yield identical chunks."""

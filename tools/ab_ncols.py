@@ -3,10 +3,10 @@
 column count (meta ncols) at the bench protocol.
 
 Interleaves OPAL_TPU_T_QUANTUM=64 (the pre-ncols packing: every chunk
-runs all 64 columns) against the default quantum 8 (last chunk of each
-block runs only its real columns) inside ONE process; cross-process
-comparisons are window-noise-dominated (CLAUDE.md). Also asserts score
-parity between the two packings.
+runs all 64 columns) against the shipped default quantum 1 (blocks pad
+to their exact max length; the last chunk runs only its real columns)
+inside ONE process; cross-process comparisons are window-noise-dominated
+(CLAUDE.md). Also asserts score parity between the packings.
 """
 import argparse
 import json
@@ -29,7 +29,9 @@ QUERY_FASTA = "/root/reference/test_data/query/O74807.fasta"
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quanta", default="64,8")
+    ap.add_argument("--quanta", default="64,1",
+                    help="OPAL_TPU_T_QUANTUM values to interleave "
+                    "(64 = pre-ncols packing, 1 = shipped default)")
     ap.add_argument("--n-seqs", type=int, default=541762)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--block-size", type=int, default=1024)

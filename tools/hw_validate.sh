@@ -9,6 +9,7 @@ OUT=${OUT:-/tmp/hw_validate}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
+FAILED=0
 run() { # name timeout cmd...
   local name=$1 tmo=$2; shift 2
   echo "=== $name ($(date +%H:%M:%S)) ==="
@@ -17,6 +18,7 @@ run() { # name timeout cmd...
   else
     echo "FAIL $name (exit $?, see $OUT/$name.log)"
     tail -5 "$OUT/$name.log"
+    FAILED=$((FAILED + 1))
   fi
 }
 
@@ -32,5 +34,6 @@ run compare_ref     1200 python tools/compare_vs_reference.py \
     /root/reference/test_data/query/P19930.fasta \
     /root/reference/test_data/db/uniprot_sprot196.fasta -a SW -x 2
 
-echo "=== done ($(date +%H:%M:%S)); logs in $OUT ==="
+echo "=== done ($(date +%H:%M:%S)); $FAILED stage(s) failed; logs in $OUT ==="
 grep -h . "$OUT"/bench.log 2>/dev/null | tail -1
+exit "$FAILED"  # non-zero iff any stage failed, so wrappers can gate on it

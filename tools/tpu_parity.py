@@ -109,15 +109,26 @@ def run_multi_case(engine, sm, lut, dbpath, mode_name, search_type,
         queries, db, 3, 1, sm.matrix, mode=MODE_CODES[mode_name],
         search_type=search_type, engine=engine,
     )
+    from opal_tpu.render import result_line
+    from opal_tpu.result import SearchResult
+
+    def line(i, s, eq=-1, et=-1):
+        # go through the real renderer (the single source of truth the
+        # golden diffs validate everywhere else) instead of a hand-rolled
+        # format string
+        r = SearchResult()
+        r.set_score(int(s))
+        r.end_location_query = int(eq)
+        r.end_location_target = int(et)
+        return result_line(i, r)
+
     all_ok = True
     for stem, path, out in zip(stems, golden_paths, outs):
         want = norm_sw_zero(read_golden(path), search_type, mode_name)
         if search_type == 0:
-            mine = [f"#{i}: {s} (?, ?) (?, ?)"
-                    for i, s in enumerate(out["score"])]
+            mine = [line(i, s) for i, s in enumerate(out["score"])]
         else:
-            mine = [f"#{i}: {s} (?, ?) ({eq}, {et})"
-                    if eq >= 0 else f"#{i}: {s} (?, ?) (?, ?)"
+            mine = [line(i, s, eq, et)
                     for i, (s, eq, et) in enumerate(
                         zip(out["score"], out["end_q"], out["end_t"]))]
         mine = norm_sw_zero(mine, search_type, mode_name)
