@@ -168,3 +168,21 @@ def test_serve_tcp(server):
     assert r2["hits"] == r1["hits"]
     (err,) = ask([{"id": 3, "query": ""}])
     assert "error" in err
+
+
+def test_serve_warm_covers_single_and_stacked(server):
+    """warm() must compile both the per-length single-query kernels and
+    the stacked multi-query kernels for the given length combination
+    without error (the batched align path uses the stacked kernels)."""
+    srv, sm, rng = server
+    srv.warm([18, 33])          # multi-length batch
+    srv.warm([25])              # single length: stacks a duplicated pair
+    q = "".join(sm.alphabet[j] for j in rng.integers(0, 20, size=18))
+    q2 = "".join(sm.alphabet[j] for j in rng.integers(0, 20, size=33))
+    fin = io.StringIO(json.dumps(
+        {"id": 9, "queries": [q, q2], "top_k": 2, "align": True}) + "\n")
+    fout = io.StringIO()
+    srv.run(fin, fout)
+    resp = json.loads(fout.getvalue().splitlines()[1])
+    assert len(resp["hits"]) == 2          # one hit list per query
+    assert all(len(h) == 2 for h in resp["hits"])
