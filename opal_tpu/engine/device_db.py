@@ -262,9 +262,11 @@ class DeviceDatabase:
         if k <= 1 or len(self.blocks) < 2 * k:
             meta, letters, lengths = self.flat()
             return [(self.blocks, meta, letters, lengths)]
-        cached = getattr(self, "_flat_parts", None)
-        if cached is not None and cached[0] == k:
-            return cached[1]
+        cache = getattr(self, "_flat_parts", None)
+        if cache is None:
+            cache = self._flat_parts = {}
+        if k in cache:
+            return cache[k]
         from .pallas_kernels import T_CHUNK
 
         nch = [-(-blk.letters.shape[0] // T_CHUNK) for blk in self.blocks]
@@ -292,7 +294,7 @@ class DeviceDatabase:
         out = [
             (g,) + self._build_stream(g, c_pad, nb_pad) for g in groups
         ]
-        self._flat_parts = (k, out)
+        cache[k] = out
         return out
 
     def __len__(self) -> int:

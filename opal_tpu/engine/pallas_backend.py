@@ -17,6 +17,8 @@ back to the XLA path.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import pallas_kernels as pk
@@ -196,9 +198,11 @@ class PallasBackend:
         # capped at 2 parts — each extra fetch pays the link round-trip
         # latency (~26 ms tunneled), which k>2 cannot amortize (measured:
         # k=4 regresses 10%, k=2 wins ~5% on both x0 and x1).
+        # OPAL_TPU_FETCH_PARTS overrides the cap for A/B runs.
         rows = len(pk.tracker_rows(mode, search_type, with_flags))
         payload = len(ddb.blocks) * rows * B * (2 if out_i16 else 4)
-        k = max(1, min(2, payload // self.SPLIT_PAYLOAD_BYTES))
+        cap = int(os.environ.get("OPAL_TPU_FETCH_PARTS", "2"))
+        k = max(1, min(cap, payload // self.SPLIT_PAYLOAD_BYTES))
         parts = ddb.flat_parts(int(k))
         outs = [
             (blocks, fn(meta, qp_dev, letters, lengths))
