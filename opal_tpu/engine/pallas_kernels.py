@@ -348,12 +348,27 @@ def _kernel_body(
         carried += [TR_ULHP] if sw else [TR_MIN_E, TR_MIN_F, TR_MAX_H]
     cpos = {r: j for j, r in enumerate(carried)}
 
-    def column(tt, carry, snap=True):
+    # Columns are processed TWO per loop iteration with the DP state (and
+    # per-cell trackers) threaded between the halves as values: VMEM
+    # read/write traffic for H/E/m/c/key halves, the lean-SW running max
+    # fuses to one op per pair, and loop bookkeeping halves — measured
+    # +5-6% on v5e (tools/exp_unroll.py), bit-identical results. A ragged
+    # chunk with odd ncols overshoots by ONE column that lands on
+    # algebraic padding (letters rows beyond ncols hold PAD_LETTER):
+    # SW trackers can only tie, never strictly improve, on pad columns
+    # (ties keep the earlier record — packed keys carry a smaller
+    # fraction for later columns, classic c updates only on strict
+    # improvement), and every non-SW tracker update is guarded by
+    # t < lengths <= t0 + ncols, so the overshoot is unobservable.
+    #
+    # st: per-cell value tuple threaded through a pair — (H, E) plus the
+    # config's per-cell trackers (lean SW's m stays OUT and fuses in the
+    # pair wrapper).
+    def column(tt, st, carry, snap=True):
         t = chunk_t0 + tt
         Pp = compute_profile(tt)  # P + Ge
 
-        Ht = h_ref[:]
-        Et = e_ref[:]
+        Ht, Et = st[0], st[1]
         Enew = jnp.maximum(Ht - go, Et - ge)
 
         # virtual row -1 boundary values for this column
@@ -383,9 +398,7 @@ def _kernel_body(
             X = jnp.maximum(X, jnp.where(row_ids >= k, shifted, NEG))
             k *= 2
         Hnew = jnp.maximum(Hp, X)
-
-        h_ref[:] = Hnew
-        e_ref[:] = Enew
+        out_st = [Hnew, Enew]
 
         # ---- trackers (carried [1,B] rows; see `carried` above) ----
         cv = list(carry)
@@ -404,13 +417,12 @@ def _kernel_body(
                 # column within this chunk) in a single array — the same
                 # per-column VMEM traffic as score-only.
                 frac = (TC - 1 - tt).astype(f32) * (1.0 / TC)
-                key_ref[:] = jnp.maximum(key_ref[:], Hnew + frac)
-            else:
-                if sw_end:
-                    c_ref[:] = jnp.where(
-                        Hnew > m_ref[:], t.astype(f32), c_ref[:]
-                    )
-                m_ref[:] = jnp.maximum(m_ref[:], Hnew)
+                out_st.append(jnp.maximum(st[2], Hnew + frac))
+            elif sw_end:
+                out_st.append(jnp.maximum(st[2], Hnew))      # m
+                out_st.append(jnp.where(                      # c
+                    Hnew > st[2], t.astype(f32), st[3]))
+            # lean SW: the running max fuses in the pair wrapper
         else:
             valid = t < lengths          # [1, B]
             is_end = t == lengths - 1    # [1, B]
@@ -419,26 +431,30 @@ def _kernel_body(
                 cv[cpos[TR_NW]] = jnp.where(
                     is_end, lastrow, cv[cpos[TR_NW]]
                 )
-            if mode == MODE_OV and snap:
-                if track_end:
+            if mode == MODE_OV and track_end:
+                # the end-column snapshot m threads through st even in
+                # no-snap loops (st layout must not depend on `snap`)
+                if snap:
                     # snapshot the whole ramped H column at sequence end;
                     # last-column max/argmax reduce once at emit. PLRM is
                     # the last-row max BEFORE this column's update
                     # (reference: prevMaxLastRowH, src/opal.cpp:746,886-903)
-                    m_ref[:] = jnp.where(is_end, Hnew, m_ref[:])
+                    out_st.append(jnp.where(is_end, Hnew, st[2]))
                     cv[cpos[TR_OV_PLRM]] = jnp.where(
                         is_end, cv[cpos[TR_BEST]], cv[cpos[TR_OV_PLRM]]
                     )
                 else:
-                    # score-only: snapshot just the column max (pad rows
-                    # are algebraically dominated, see module docstring)
-                    colmax_u = jnp.max(
-                        jnp.where(row_valid, Hnew - ramp, NEG),
-                        axis=0, keepdims=True,
-                    )
-                    cv[cpos[TR_OV_CMAX]] = jnp.where(
-                        is_end, colmax_u, cv[cpos[TR_OV_CMAX]]
-                    )
+                    out_st.append(st[2])
+            elif mode == MODE_OV and snap:
+                # score-only: snapshot just the column max (pad rows
+                # are algebraically dominated, see module docstring)
+                colmax_u = jnp.max(
+                    jnp.where(row_valid, Hnew - ramp, NEG),
+                    axis=0, keepdims=True,
+                )
+                cv[cpos[TR_OV_CMAX]] = jnp.where(
+                    is_end, colmax_u, cv[cpos[TR_OV_CMAX]]
+                )
             if mode in (MODE_HW, MODE_OV):
                 best = cv[cpos[TR_BEST]]
                 lr_improved = valid & (lastrow > best)
@@ -473,26 +489,50 @@ def _kernel_body(
                     jnp.max(jnp.where(vmask, Hnew - ramp, NEG), axis=0,
                             keepdims=True),
                 )
-        return tuple(cv)
+        return tuple(out_st), tuple(cv)
 
     init = tuple(tr_ref[r : r + 1, :] for r in carried)
+    # per-cell VMEM refs threaded through a column pair (lean SW's m is
+    # NOT threaded: it fuses to one update per pair below)
+    if sw_packed:
+        st_refs = [key_ref]
+    elif sw_end:
+        st_refs = [m_ref, c_ref]
+    elif has_m and track_end:  # OV end-column snapshot
+        st_refs = [m_ref]
+    else:
+        st_refs = []
+
+    def pair(uu, carry, snap=True):
+        st = (h_ref[:], e_ref[:]) + tuple(r[:] for r in st_refs)
+        st1, carry = column(2 * uu, st, carry, snap)
+        st2, carry = column(2 * uu + 1, st1, carry, snap)
+        h_ref[:] = st2[0]
+        e_ref[:] = st2[1]
+        for j, r in enumerate(st_refs):
+            r[:] = st2[2 + j]
+        if lean_sw:
+            m_ref[:] = jnp.maximum(
+                m_ref[:], jnp.maximum(st1[0], st2[0]))
+        return carry
 
     def writeback(carry):
         for j, r in enumerate(carried):
             tr_ref[pl.ds(r, 1), :] = carry[j]
 
+    n_pairs = (n_cols + 1) // 2
     if chunk_has_end is None:
-        writeback(jax.lax.fori_loop(0, n_cols, column, init))
+        writeback(jax.lax.fori_loop(0, n_pairs, pair, init))
     else:
         @pl.when(chunk_has_end)
         def _loop_snap():
             writeback(jax.lax.fori_loop(
-                0, n_cols, lambda tt, c: column(tt, c, True), init))
+                0, n_pairs, lambda uu, c: pair(uu, c, True), init))
 
         @pl.when(jnp.logical_not(chunk_has_end))
         def _loop_lean():
             writeback(jax.lax.fori_loop(
-                0, n_cols, lambda tt, c: column(tt, c, False), init))
+                0, n_pairs, lambda uu, c: pair(uu, c, False), init))
 
     if sw_packed:
         # Once-per-chunk merge of the packed keys into the [1, B] lane
