@@ -932,13 +932,33 @@ def _kernel_multi(
         end_in_chunk = (lengths > t0) & (lengths <= t0 + TC)
         chunk_has_end = jnp.any(end_in_chunk)
 
-    def column(tt, _, snap=True):
+    # Column-pair loop with threaded state, mirroring _kernel_body: per-cell
+    # VMEM round trips halve, lean SW's running max fuses per pair, and the
+    # per-segment [1,B] tracker rows are CARRIED through the loop (loaded
+    # from tr_ref once per chunk, written back once) instead of per-column
+    # sub-tile read-modify-writes — the RMW the single kernel's carried
+    # rows were measured to cost 15-20% of a column. The odd-ncols
+    # overshoot column is unobservable (algebraic padding + t < lengths
+    # guards; see _kernel_body).
+    if sw:
+        n_tr = 0  # per-cell m (+ c) carry the state; no per-column rows
+    elif mode == MODE_NW:
+        n_tr = n_seg
+    else:  # HW / OV: score (+ argcol, + OV PLRM)
+        n_tr = n_seg * ((3 if mode == MODE_OV else 2) if track_end else 1)
+    if sw_end:
+        st_refs = [m_ref, c_ref]
+    elif mode == MODE_OV:
+        st_refs = [m_ref]  # end-column snapshot (score-only uses it too)
+    else:
+        st_refs = []
+
+    def column(tt, st, carry, snap=True):
         t = chunk_t0() + tt
         letters_t = l32_ref[pl.ds(tt, 1), :]
         onehot = (lane_a == letters_t).astype(jnp.bfloat16)
         Pp = jnp.dot(qp_ref[:], onehot, preferred_element_type=f32)  # P + Ge
-        Ht = h_ref[:]
-        Et = e_ref[:]
+        Ht, Et = st[0], st[1]
         Enew = jnp.maximum(Ht - go, Et - ge)
         if mode == MODE_NW:
             uH0 = (-go - t * ge).astype(f32)
@@ -961,62 +981,73 @@ def _kernel_multi(
             )
             k *= 2
         Hnew = jnp.maximum(Hp, X)
-        h_ref[:] = Hnew
-        e_ref[:] = Enew
+        out_st = [Hnew, Enew]
+        cv = list(carry)
         if sw:
             if sw_end:  # per-cell first-attainment column (see _kernel_body)
-                c_ref[:] = jnp.where(
-                    Hnew > m_ref[:], t.astype(f32), c_ref[:]
-                )
-            m_ref[:] = jnp.maximum(m_ref[:], Hnew)
+                out_st.append(jnp.maximum(st[2], Hnew))      # m
+                out_st.append(jnp.where(                      # c
+                    Hnew > st[2], t.astype(f32), st[3]))
+            # lean SW: running max fuses in the pair wrapper
         else:
             valid = t < lengths          # [1, B]
             is_end = t == lengths - 1    # [1, B]
-            tr = tr_ref[:]
-            if mode == MODE_OV and snap:
-                m_ref[:] = jnp.where(is_end, Hnew, m_ref[:])
+            if mode == MODE_OV:
+                out_st.append(
+                    jnp.where(is_end, Hnew, st[2]) if snap else st[2])
             for s in range(n_seg):
                 er = end_rows[s]
                 lastrow = Hnew[er : er + 1, :]
                 if mode == MODE_NW:
-                    tr_ref[pl.ds(s, 1), :] = jnp.where(
-                        is_end, lastrow, tr[s : s + 1]
-                    )
+                    cv[s] = jnp.where(is_end, lastrow, cv[s])
                 else:  # HW, OV: running last-row max (+ argcol / PLRM)
                     if mode == MODE_OV and track_end:
                         # PLRM: last-row max BEFORE this column's update,
                         # snapshotted at lane end (reference prevMaxLastRowH,
                         # src/opal.cpp:746,886-903)
-                        tr_ref[pl.ds(2 * n_seg + s, 1), :] = jnp.where(
-                            is_end, tr[s : s + 1],
-                            tr[2 * n_seg + s : 2 * n_seg + s + 1],
-                        )
-                    lr_improved = valid & (lastrow > tr[s : s + 1])
-                    tr_ref[pl.ds(s, 1), :] = jnp.where(
-                        lr_improved, lastrow, tr[s : s + 1]
-                    )
+                        cv[2 * n_seg + s] = jnp.where(
+                            is_end, cv[s], cv[2 * n_seg + s])
+                    lr_improved = valid & (lastrow > cv[s])
+                    cv[s] = jnp.where(lr_improved, lastrow, cv[s])
                     if track_end:
-                        tr_ref[pl.ds(n_seg + s, 1), :] = jnp.where(
-                            lr_improved, t.astype(f32),
-                            tr[n_seg + s : n_seg + s + 1],
-                        )
-        return 0
+                        cv[n_seg + s] = jnp.where(
+                            lr_improved, t.astype(f32), cv[n_seg + s])
+        return tuple(out_st), tuple(cv)
 
+    def pair(uu, carry, snap=True):
+        st = (h_ref[:], e_ref[:]) + tuple(r[:] for r in st_refs)
+        st1, carry = column(2 * uu, st, carry, snap)
+        st2, carry = column(2 * uu + 1, st1, carry, snap)
+        h_ref[:] = st2[0]
+        e_ref[:] = st2[1]
+        for j, r in enumerate(st_refs):
+            r[:] = st2[2 + j]
+        if sw and not sw_end:
+            m_ref[:] = jnp.maximum(
+                m_ref[:], jnp.maximum(st1[0], st2[0]))
+        return carry
+
+    def writeback(carry):
+        for r in range(n_tr):
+            tr_ref[pl.ds(r, 1), :] = carry[r]
+
+    init = tuple(tr_ref[r : r + 1, :] for r in range(n_tr))
     # data-driven column count: skip the padding quantum's tail columns
     # on a block's last chunk (see _kernel_body's ncols note)
     n_cols = TC if ncols is None else ncols()
+    n_pairs = (n_cols + 1) // 2
     if chunk_has_end is None:
-        jax.lax.fori_loop(0, n_cols, column, 0)
+        writeback(jax.lax.fori_loop(0, n_pairs, pair, init))
     else:
         @pl.when(chunk_has_end)
         def _loop_snap():
-            jax.lax.fori_loop(
-                0, n_cols, lambda tt, c: column(tt, c, True), 0)
+            writeback(jax.lax.fori_loop(
+                0, n_pairs, lambda uu, c: pair(uu, c, True), init))
 
         @pl.when(jnp.logical_not(chunk_has_end))
         def _loop_lean():
-            jax.lax.fori_loop(
-                0, n_cols, lambda tt, c: column(tt, c, False), 0)
+            writeback(jax.lax.fori_loop(
+                0, n_pairs, lambda uu, c: pair(uu, c, False), init))
 
     @pl.when(is_last())
     def _emit():
