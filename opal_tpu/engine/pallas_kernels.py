@@ -75,6 +75,13 @@ A_PAD = 32           # one-hot width / MXU contraction dim
 PAD_LETTER = A_PAD - 1  # reserved letter index used for all padding
 LANE_BLOCK = 512     # default B (DB sequences per kernel call)
 T_CHUNK = 64         # target positions per grid step
+
+# Columns processed per loop iteration with state threaded as values
+# between them (one VMEM round trip of the per-cell state per group).
+# 4 measured fastest on v5e (tools/exp_unroll.py: 108.7 / 113.4 / 115.7
+# padded GCUPS for 1 / 2 / 4 at Q_pad=112); must divide T_CHUNK.
+COL_UNROLL = int(os.environ.get("OPAL_TPU_COL_UNROLL", "4"))
+assert T_CHUNK % COL_UNROLL == 0
 # DP-state budget: scratch arrays only; compiler temporaries take roughly
 # another 1.5x of it, all inside VMEM_LIMIT (validated on v5e at Q=3000,
 # B=1024: 3 x 12M scratch + temps fit under the 100M scoped ceiling).
@@ -348,13 +355,15 @@ def _kernel_body(
         carried += [TR_ULHP] if sw else [TR_MIN_E, TR_MIN_F, TR_MAX_H]
     cpos = {r: j for j, r in enumerate(carried)}
 
-    # Columns are processed TWO per loop iteration with the DP state (and
-    # per-cell trackers) threaded between the halves as values: VMEM
-    # read/write traffic for H/E/m/c/key halves, the lean-SW running max
-    # fuses to one op per pair, and loop bookkeeping halves — measured
-    # +5-6% on v5e (tools/exp_unroll.py), bit-identical results. A ragged
-    # chunk with odd ncols overshoots by ONE column that lands on
-    # algebraic padding (letters rows beyond ncols hold PAD_LETTER):
+    # Columns are processed COL_UNROLL per loop iteration with the DP
+    # state (and per-cell trackers) threaded between them as values: VMEM
+    # read/write traffic for H/E/m/c/key divides by the group size, the
+    # lean-SW running max fuses to one VMEM update per group, and loop
+    # bookkeeping shrinks — measured +5-6% for pairs and a further +1-2%
+    # for quads on v5e (tools/exp_unroll.py), bit-identical results. A
+    # ragged chunk whose ncols is not a multiple of the group overshoots
+    # by up to COL_UNROLL-1 columns that land on algebraic padding
+    # (letters rows beyond ncols hold PAD_LETTER):
     # SW trackers can only tie, never strictly improve, on pad columns
     # (ties keep the earlier record — packed keys carry a smaller
     # fraction for later columns, classic c updates only on strict
@@ -503,36 +512,38 @@ def _kernel_body(
     else:
         st_refs = []
 
-    def pair(uu, carry, snap=True):
+    def group(uu, carry, snap=True):
         st = (h_ref[:], e_ref[:]) + tuple(r[:] for r in st_refs)
-        st1, carry = column(2 * uu, st, carry, snap)
-        st2, carry = column(2 * uu + 1, st1, carry, snap)
-        h_ref[:] = st2[0]
-        e_ref[:] = st2[1]
+        hs = []
+        for j in range(COL_UNROLL):
+            st, carry = column(COL_UNROLL * uu + j, st, carry, snap)
+            hs.append(st[0])
+        h_ref[:] = st[0]
+        e_ref[:] = st[1]
         for j, r in enumerate(st_refs):
-            r[:] = st2[2 + j]
+            r[:] = st[2 + j]
         if lean_sw:
             m_ref[:] = jnp.maximum(
-                m_ref[:], jnp.maximum(st1[0], st2[0]))
+                m_ref[:], functools.reduce(jnp.maximum, hs))
         return carry
 
     def writeback(carry):
         for j, r in enumerate(carried):
             tr_ref[pl.ds(r, 1), :] = carry[j]
 
-    n_pairs = (n_cols + 1) // 2
+    n_groups = (n_cols + COL_UNROLL - 1) // COL_UNROLL
     if chunk_has_end is None:
-        writeback(jax.lax.fori_loop(0, n_pairs, pair, init))
+        writeback(jax.lax.fori_loop(0, n_groups, group, init))
     else:
         @pl.when(chunk_has_end)
         def _loop_snap():
             writeback(jax.lax.fori_loop(
-                0, n_pairs, lambda uu, c: pair(uu, c, True), init))
+                0, n_groups, lambda uu, c: group(uu, c, True), init))
 
         @pl.when(jnp.logical_not(chunk_has_end))
         def _loop_lean():
             writeback(jax.lax.fori_loop(
-                0, n_pairs, lambda uu, c: pair(uu, c, False), init))
+                0, n_groups, lambda uu, c: group(uu, c, False), init))
 
     if sw_packed:
         # Once-per-chunk merge of the packed keys into the [1, B] lane
@@ -932,14 +943,15 @@ def _kernel_multi(
         end_in_chunk = (lengths > t0) & (lengths <= t0 + TC)
         chunk_has_end = jnp.any(end_in_chunk)
 
-    # Column-pair loop with threaded state, mirroring _kernel_body: per-cell
-    # VMEM round trips halve, lean SW's running max fuses per pair, and the
+    # Column-group loop (COL_UNROLL columns per iteration) with threaded
+    # state, mirroring _kernel_body: per-cell VMEM round trips divide by
+    # the group size, lean SW's running max fuses per group, and the
     # per-segment [1,B] tracker rows are CARRIED through the loop (loaded
     # from tr_ref once per chunk, written back once) instead of per-column
     # sub-tile read-modify-writes — the RMW the single kernel's carried
-    # rows were measured to cost 15-20% of a column. The odd-ncols
-    # overshoot column is unobservable (algebraic padding + t < lengths
-    # guards; see _kernel_body).
+    # rows were measured to cost 15-20% of a column. The up-to-
+    # (COL_UNROLL-1)-column ncols overshoot is unobservable (algebraic
+    # padding + t < lengths guards; see _kernel_body).
     if sw:
         n_tr = 0  # per-cell m (+ c) carry the state; no per-column rows
     elif mode == MODE_NW:
@@ -1014,17 +1026,19 @@ def _kernel_multi(
                             lr_improved, t.astype(f32), cv[n_seg + s])
         return tuple(out_st), tuple(cv)
 
-    def pair(uu, carry, snap=True):
+    def group(uu, carry, snap=True):
         st = (h_ref[:], e_ref[:]) + tuple(r[:] for r in st_refs)
-        st1, carry = column(2 * uu, st, carry, snap)
-        st2, carry = column(2 * uu + 1, st1, carry, snap)
-        h_ref[:] = st2[0]
-        e_ref[:] = st2[1]
+        hs = []
+        for j in range(COL_UNROLL):
+            st, carry = column(COL_UNROLL * uu + j, st, carry, snap)
+            hs.append(st[0])
+        h_ref[:] = st[0]
+        e_ref[:] = st[1]
         for j, r in enumerate(st_refs):
-            r[:] = st2[2 + j]
+            r[:] = st[2 + j]
         if sw and not sw_end:
             m_ref[:] = jnp.maximum(
-                m_ref[:], jnp.maximum(st1[0], st2[0]))
+                m_ref[:], functools.reduce(jnp.maximum, hs))
         return carry
 
     def writeback(carry):
@@ -1035,19 +1049,19 @@ def _kernel_multi(
     # data-driven column count: skip the padding quantum's tail columns
     # on a block's last chunk (see _kernel_body's ncols note)
     n_cols = TC if ncols is None else ncols()
-    n_pairs = (n_cols + 1) // 2
+    n_groups = (n_cols + COL_UNROLL - 1) // COL_UNROLL
     if chunk_has_end is None:
-        writeback(jax.lax.fori_loop(0, n_pairs, pair, init))
+        writeback(jax.lax.fori_loop(0, n_groups, group, init))
     else:
         @pl.when(chunk_has_end)
         def _loop_snap():
             writeback(jax.lax.fori_loop(
-                0, n_pairs, lambda uu, c: pair(uu, c, True), init))
+                0, n_groups, lambda uu, c: group(uu, c, True), init))
 
         @pl.when(jnp.logical_not(chunk_has_end))
         def _loop_lean():
             writeback(jax.lax.fori_loop(
-                0, n_pairs, lambda uu, c: pair(uu, c, False), init))
+                0, n_groups, lambda uu, c: group(uu, c, False), init))
 
     @pl.when(is_last())
     def _emit():

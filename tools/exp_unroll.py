@@ -75,7 +75,7 @@ def build(variant, Q_pad, B, go=3, ge=1):
                 return 0
 
             jax.lax.fori_loop(0, TC, column, 0)
-        else:  # unroll2: fused m update, one state write per 2 columns
+        elif variant == "unroll2":  # fused m, one state write per 2 columns
             def column2(uu, _):
                 H1, E1 = one_col(2 * uu, h_ref[:], e_ref[:])
                 H2, E2 = one_col(2 * uu + 1, H1, E1)
@@ -85,6 +85,22 @@ def build(variant, Q_pad, B, go=3, ge=1):
                 return 0
 
             jax.lax.fori_loop(0, TC // 2, column2, 0)
+        else:  # unrollN: one state write per N columns
+            n = int(variant[len("unroll"):])
+
+            def columnN(uu, _):
+                H, E = h_ref[:], e_ref[:]
+                ms = []
+                for j in range(n):
+                    H, E = one_col(n * uu + j, H, E)
+                    ms.append(H)
+                h_ref[:] = H
+                e_ref[:] = E
+                m_ref[:] = jnp.maximum(
+                    m_ref[:], functools.reduce(jnp.maximum, ms))
+                return 0
+
+            jax.lax.fori_loop(0, TC // n, columnN, 0)
 
         @pl.when(c == pl.num_programs(0) - 1)
         def _emit():
@@ -137,11 +153,13 @@ def main():
     letters_d = jax.device_put(letters)
     qp_d = jax.device_put(jnp.asarray(qp, jnp.bfloat16))
 
-    fns = {v: build(v, Q_pad, B) for v in ("base", "unroll2")}
+    variants = ("base", "unroll2", "unroll4", "unroll8")
+    fns = {v: build(v, Q_pad, B) for v in variants}
     outs = {}
     for v, fn in fns.items():
         outs[v] = [np.asarray(o) for o in fn(meta_d, qp_d, letters_d, nb)]
-    assert np.array_equal(outs["base"][0][0], outs["unroll2"][0][0]), "PARITY"
+    for v in variants[1:]:
+        assert np.array_equal(outs["base"][0][0], outs[v][0][0]), f"PARITY {v}"
     times = {v: [] for v in fns}
     for _ in range(args.rounds):
         for v, fn in fns.items():
