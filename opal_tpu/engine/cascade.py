@@ -97,6 +97,24 @@ def simulate_overflow_method(
     return out
 
 
+def bucket_escalation_counts(prec: np.ndarray) -> dict:
+    """Per-1024-sequence-bucket escalation summary: how many sequences in
+    each bucket needed more than 8 / more than 16 bits (reference bucket
+    granularity: src/opal.cpp:502, :990). Returns arrays indexed by bucket:
+    {"n": sequences per bucket, "over8": ..., "over16": ...}."""
+    n = len(prec)
+    n_buckets = max(1, -(-n // BUCKET_SIZE)) if n else 0
+    sizes = np.zeros(n_buckets, dtype=np.int64)
+    over8 = np.zeros(n_buckets, dtype=np.int64)
+    over16 = np.zeros(n_buckets, dtype=np.int64)
+    for b in range(n_buckets):
+        chunk = prec[b * BUCKET_SIZE : (b + 1) * BUCKET_SIZE]
+        sizes[b] = len(chunk)
+        over8[b] = int((chunk > 8).sum())
+        over16[b] = int((chunk > 16).sum())
+    return {"n": sizes, "over8": over8, "over16": over16}
+
+
 def search_database_char_sw(
     query, db, gap_open, gap_ext, matrix, results=None, engine=None
 ):

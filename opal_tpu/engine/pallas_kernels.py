@@ -81,7 +81,11 @@ T_CHUNK = 64         # target positions per grid step
 # 4 measured fastest on v5e (tools/exp_unroll.py: 108.7 / 113.4 / 115.7
 # padded GCUPS for 1 / 2 / 4 at Q_pad=112); must divide T_CHUNK.
 COL_UNROLL = int(os.environ.get("OPAL_TPU_COL_UNROLL", "4"))
-assert T_CHUNK % COL_UNROLL == 0
+if COL_UNROLL < 1 or T_CHUNK % COL_UNROLL:
+    raise ValueError(
+        f"OPAL_TPU_COL_UNROLL must be a positive divisor of "
+        f"T_CHUNK={T_CHUNK}; got {COL_UNROLL}"
+    )
 # DP-state budget: scratch arrays only; compiler temporaries take roughly
 # another 1.5x of it, all inside VMEM_LIMIT (validated on v5e at Q=3000,
 # B=1024: 3 x 12M scratch + temps fit under the 100M scoped ceiling).
@@ -370,9 +374,9 @@ def _kernel_body(
     # improvement), and every non-SW tracker update is guarded by
     # t < lengths <= t0 + ncols, so the overshoot is unobservable.
     #
-    # st: per-cell value tuple threaded through a pair — (H, E) plus the
-    # config's per-cell trackers (lean SW's m stays OUT and fuses in the
-    # pair wrapper).
+    # st: per-cell value tuple threaded through a column group — (H, E)
+    # plus the config's per-cell trackers (lean SW's m stays OUT and fuses
+    # in the group wrapper).
     def column(tt, st, carry, snap=True):
         t = chunk_t0 + tt
         Pp = compute_profile(tt)  # P + Ge
@@ -431,7 +435,7 @@ def _kernel_body(
                 out_st.append(jnp.maximum(st[2], Hnew))      # m
                 out_st.append(jnp.where(                      # c
                     Hnew > st[2], t.astype(f32), st[3]))
-            # lean SW: the running max fuses in the pair wrapper
+            # lean SW: the running max fuses in the group wrapper
         else:
             valid = t < lengths          # [1, B]
             is_end = t == lengths - 1    # [1, B]
@@ -501,8 +505,8 @@ def _kernel_body(
         return tuple(out_st), tuple(cv)
 
     init = tuple(tr_ref[r : r + 1, :] for r in carried)
-    # per-cell VMEM refs threaded through a column pair (lean SW's m is
-    # NOT threaded: it fuses to one update per pair below)
+    # per-cell VMEM refs threaded through a column group (lean SW's m is
+    # NOT threaded: it fuses to one update per group below)
     if sw_packed:
         st_refs = [key_ref]
     elif sw_end:
@@ -1000,7 +1004,7 @@ def _kernel_multi(
                 out_st.append(jnp.maximum(st[2], Hnew))      # m
                 out_st.append(jnp.where(                      # c
                     Hnew > st[2], t.astype(f32), st[3]))
-            # lean SW: running max fuses in the pair wrapper
+            # lean SW: running max fuses in the group wrapper
         else:
             valid = t < lengths          # [1, B]
             is_end = t == lengths - 1    # [1, B]

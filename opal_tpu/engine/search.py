@@ -37,6 +37,27 @@ from ..result import SearchResult
 from ..traceback import AlignmentError, align_pair_reverse_trick
 
 
+def _db_fingerprint(db) -> bytes:
+    """Cheap content fingerprint of a sequence list: the count plus the
+    full bytes of a deterministic ~17-sequence sample (first, last, evenly
+    strided). O(1) in database size; detects id() reuse and in-place
+    mutation of sampled sequences (mutating only unsampled sequences still
+    requires a fresh list — or Engine.upload() — to be observed)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    n = len(db)
+    h.update(n.to_bytes(8, "little"))
+    if n:
+        step = max(1, n // 16)
+        for i in sorted({*list(range(0, n, step))[:16], n - 1}):
+            a = np.asarray(db[i])
+            h.update(i.to_bytes(8, "little"))
+            h.update(int(a.shape[0]).to_bytes(8, "little"))
+            h.update(a.tobytes())
+    return h.digest()
+
+
 @dataclasses.dataclass
 class EngineConfig:
     backend: str = "auto"     # "auto" | "xla" | "pallas" | "pallas-interpret"
@@ -98,15 +119,19 @@ class Engine:
                 return db
             # long-query lane-width downshift: re-block the resident DB
             db = db.raw
-        key = id(db)
+        # Keyed by id() AND a sampled content fingerprint: id alone could
+        # serve a stale DeviceDatabase after the caller mutates the list's
+        # sequences in place (and, were the list not pinned by the cache,
+        # after id reuse of a freed list). Engine.upload() remains the
+        # contract-safe resident API for mutation-heavy callers.
+        key = (id(db), _db_fingerprint(db))
         cached = self._resident_cache.get(key)
-        if cached is None or cached[0] != len(db):
-            cached = (len(db), {})
+        if cached is None:
+            cached = {}
             self._resident_cache = {key: cached}  # keep one DB resident
-        per_b = cached[1]
-        if B not in per_b:
-            per_b[B] = DeviceDatabase(db, B, mesh=self.config.mesh)
-        return per_b[B]
+        if B not in cached:
+            cached[B] = DeviceDatabase(db, B, mesh=self.config.mesh)
+        return cached[B]
 
     def score_blocks(
         self,
@@ -488,16 +513,35 @@ def search_database(
             # sequence needed, and what each overflow strategy would rerun.
             # Outputs are already exact (see engine/cascade.py), so this is
             # observability, not a recompute trigger.
-            from .cascade import classify_precision, simulate_overflow_method
+            from .cascade import (
+                bucket_escalation_counts,
+                classify_precision,
+                simulate_overflow_method,
+            )
 
             prec = classify_precision(cols, mode)
+            # masks/buckets follow DATABASE order (the reference's bucket
+            # granularity is 1024 consecutive DB sequences, src/opal.cpp:502);
+            # skipped sequences count as 8-bit (never rerun)
+            prec_db = np.full(n, 8, dtype=np.int32)
+            prec_db[idx] = prec
             engine.last_search_stats = {
                 "precision_bits": dict(
                     zip(idx.tolist(), prec.tolist())
                 ),
+                # what each cascade stage would rerun under the chosen
+                # strategy (reference: src/opal.cpp:512-529): stage 8 =
+                # the char->short escalation set, stage 16 = short->int
                 "rerun_mask_stage8": simulate_overflow_method(
-                    prec, overflow_method, 8
+                    prec_db, overflow_method, 8
                 ),
+                "rerun_mask_stage16": simulate_overflow_method(
+                    prec_db, overflow_method, 16
+                ),
+                "precision_counts": {
+                    b: int((prec == b).sum()) for b in (8, 16, 32)
+                },
+                "bucket_escalations": bucket_escalation_counts(prec_db),
                 "overflow_method": overflow_method,
             }
         scores = cols["score"].tolist()

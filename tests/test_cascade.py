@@ -160,3 +160,51 @@ def test_char_sw_vs_reference_binary(engine, tmp_path):
     res = search_database_char_sw(query, db, go, ge, matrix, engine=engine)
     got = [(r.score_set, r.score) for r in res]
     assert got == want
+
+
+def test_bucket_escalation_counts():
+    from opal_tpu.engine.cascade import bucket_escalation_counts
+
+    prec = np.full(2500, 8, np.int32)
+    prec[3] = 16
+    prec[1030] = 32
+    prec[1031] = 16
+    out = bucket_escalation_counts(prec)
+    assert out["n"].tolist() == [1024, 1024, 452]
+    assert out["over8"].tolist() == [1, 2, 0]
+    assert out["over16"].tolist() == [0, 1, 0]
+
+
+def test_search_stats_all_stages(engine):
+    """last_search_stats documents all three cascade stages and the
+    per-bucket escalation summary, consistent with simulate_overflow_method
+    for both strategies (reference: src/opal.cpp:512-529)."""
+    from opal_tpu.engine.search import search_database
+
+    rng = np.random.default_rng(41)
+    query, db, matrix = random_problem(
+        rng, n_seqs=30, query_len=80, min_len=20, max_len=260,
+        match=5, mismatch=-1,
+    )
+    for method in (OVERFLOW_SIMPLE, OVERFLOW_BUCKETS):
+        eng = Engine(backend="xla", block_size=16, precision="adaptive")
+        search_database(query, db, 3, 1, matrix, mode=MODE_SW,
+                        overflow_method=method, engine=eng)
+        stats = eng.last_search_stats
+        assert stats["overflow_method"] == method
+        prec_db = np.full(len(db), 8, np.int32)
+        for i, b in stats["precision_bits"].items():
+            prec_db[i] = b
+        np.testing.assert_array_equal(
+            stats["rerun_mask_stage8"],
+            simulate_overflow_method(prec_db, method, 8))
+        np.testing.assert_array_equal(
+            stats["rerun_mask_stage16"],
+            simulate_overflow_method(prec_db, method, 16))
+        counts = stats["precision_counts"]
+        assert sum(counts.values()) == len(db)
+        assert counts[16] + counts[32] > 0  # +5/-1 drifts into overflow
+        be = stats["bucket_escalations"]
+        assert be["n"].sum() == len(db)
+        assert be["over8"].sum() == counts[16] + counts[32]
+        assert be["over16"].sum() == counts[32]

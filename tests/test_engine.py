@@ -177,7 +177,7 @@ def test_long_query_lane_width_downshift(monkeypatch):
         assert r.score == w.score, i
     # the resident cache must hold the re-blocked width (SW score+end
     # needs 4 state arrays — H, E, m, c: Q_pad=48 first fits at B=128)
-    (n, per_b), = eng._resident_cache.values()
+    per_b, = eng._resident_cache.values()
     assert 128 in per_b and per_b[128].block_size == 128
 
 
@@ -232,3 +232,27 @@ def test_narrow_width_ceiling_capped():
 
     assert pk.max_q_pad(128, 2) == pk.max_q_pad(128, 3)
     assert pk.max_q_pad(256, 2) > pk.max_q_pad(256, 3)
+
+
+def test_resident_cache_detects_inplace_mutation():
+    """The resident-DB cache must not serve stale letters after the caller
+    mutates the same list object in place (and, by the same fingerprint,
+    after id() reuse of an equal-length list)."""
+    rng = np.random.default_rng(77)
+    query, db, matrix = random_problem(
+        rng, n_seqs=8, query_len=30, min_len=10, max_len=60
+    )
+    eng = Engine(backend="xla", block_size=4)
+    first = search_database(query, db, 3, 1, matrix, engine=eng)
+    # mutate sequence 0 in place: same list id, same length
+    db[0] = db[0].copy()
+    db[0][:] = (db[0] + 1) % matrix.shape[0]
+    second = search_database(query, db, 3, 1, matrix, engine=eng)
+    want = search_oracle(query, db, 3, 1, matrix, MODE_SW, SEARCH_SCORE)
+    assert second[0].score == want[0].score
+    # and a genuinely different equal-length list is never served stale
+    db2 = [d.copy() for d in db]
+    db2[1][:] = (db2[1] + 2) % matrix.shape[0]
+    third = search_database(query, db2, 3, 1, matrix, engine=eng)
+    want2 = search_oracle(query, db2, 3, 1, matrix, MODE_SW, SEARCH_SCORE)
+    assert [r.score for r in third] == [w.score for w in want2]

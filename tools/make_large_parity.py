@@ -12,11 +12,12 @@ bytes everywhere). This tool
 2. builds the reference opal_aligner from the mounted sources
    (/root/reference/src, cf. opal_aligner.cpp:20-235),
 3. runs it over 2 queries x 4 modes x search types 0/1 and stores the
-   result bodies gzipped under tests/golden_large/.
+   result bodies gzipped under tests/golden_large/, plus search type 2
+   (full alignment blocks, ~12 MB raw but ~1-2 MB gzipped) for the O74807
+   query x 4 modes — committed so tools/tpu_parity.py --large needs no
+   compiler or mounted reference sources at run time.
 
-Search type 2 goldens (full alignment blocks, ~12 MB each) are NOT stored;
-tools/tpu_parity.py --large regenerates them on the fly from the same
-binary. Re-running this tool must be a no-op diff-wise.
+Re-running this tool must be a no-op diff-wise.
 """
 import glob
 import gzip
@@ -81,7 +82,9 @@ def main():
     for q in QUERIES:
         qpath = f"/root/reference/test_data/query/{q}.fasta"
         for mode in MODES:
-            for x in (0, 1):
+            # x2 only for the headline query (4 x ~1.5 MB gzipped)
+            xs = (0, 1, 2) if q == "O74807" else (0, 1)
+            for x in xs:
                 body = run_reference(exe, qpath, db_plain, mode, x)
                 name = f"{q}__synth12071__{mode}_x{x}_o3_e1.txt.gz"
                 path = os.path.join(outdir, name)
