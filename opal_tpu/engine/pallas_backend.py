@@ -52,13 +52,38 @@ class PallasBackend:
             and pk._round_up(max(Q, 16), 16) <= pk.max_q_pad(B, arrays)
         )
 
+    def panel_ok(self, Q, gap_open, gap_ext, A, profile_absmax,
+                 max_len=0) -> bool:
+        """May this query run via query-panel streaming (no VMEM query
+        ceiling — see build_pallas_panel_fn_raw)? Gates: the usual
+        B-independent kernel constraints plus f32 integer-exactness of the
+        whole DP value range (|H| is bounded by Q*|P|max on the positive
+        side and the gap walls on the negative side; 2^23 leaves a 2x
+        margin under the f32 mantissa)."""
+        return (
+            gap_ext <= gap_open
+            and A <= pk.PAD_LETTER
+            and profile_absmax + gap_ext <= 256
+            and Q * profile_absmax + 2 * gap_open
+            + (Q + max_len) * gap_ext < 2**23
+        )
+
     def preferred_block_size(self, Q, gap_open, gap_ext, A, profile_absmax,
                              arrays, default_B):
-        """Widest lane width (<= default_B, >= 128) whose VMEM DP state fits
-        this query. Long queries thus stay on the pallas path at reduced
-        lane width (measured ~1.6x the XLA fallback at Q=6000) instead of
-        falling back; B-independent gates (ge > go, alphabet, bf16 profile
-        range) still route to XLA via supports()."""
+        """Lane width for this query. Queries whose VMEM DP state does not
+        fit at default_B stay at FULL width and run via query-panel
+        streaming (measured faster than the old lane-width downshift at
+        every length probed — see BENCH_REPORT; OPAL_TPU_NO_PANELS=1
+        restores the downshift policy for A/B runs). With panels
+        ineligible (f32 value-range gate), fall back to the widest width
+        (>= 128) whose DP state fits; B-independent gates (ge > go,
+        alphabet, bf16 profile range) still route to XLA via supports()."""
+        if self.supports(Q, gap_open, gap_ext, B=default_B, A=A,
+                         profile_absmax=profile_absmax, arrays=arrays):
+            return default_B
+        if (os.environ.get("OPAL_TPU_NO_PANELS") != "1"
+                and self.panel_ok(Q, gap_open, gap_ext, A, profile_absmax)):
+            return default_B  # query-panel streaming at full width
         if not self.supports(Q, gap_open, gap_ext, B=128, A=A,
                              profile_absmax=profile_absmax, arrays=arrays):
             return default_B
@@ -82,6 +107,10 @@ class PallasBackend:
         # re-checks at the actual width and still falls back when needed.
         if not self.supports(Q, gap_open, gap_ext, B=128, A=A,
                              profile_absmax=absmax):
+            if self.panel_ok(Q, gap_open, gap_ext, A, absmax):
+                # query-panel streaming: panels slice their own profile
+                # rows in dispatch, no full-profile device upload needed
+                return ("pallas", Q, None, np.asarray(qprofile))
             return ("xla",
                     self._fallback.prepare_query(qprofile, gap_open, gap_ext))
         # qprofile arrives as [A, Q]; kernel wants [Q_pad, A_PAD] bf16
@@ -169,10 +198,20 @@ class PallasBackend:
 
         packed = (mode == _SW and search_type != _SCORE
                   and pk.sw_end_packed_ok(Q, absmax, int(gap_ext)))
-        if not self.supports(
+        # OPAL_TPU_FORCE_PANELS=1 routes every eligible search through the
+        # query-panel path (tests / A-B runs)
+        if os.environ.get("OPAL_TPU_FORCE_PANELS") == "1" or not self.supports(
             Q, gap_open, gap_ext, B, A=qprofile_np.shape[0],
             arrays=pk.n_state_arrays(mode, search_type, with_flags, packed),
         ):
+            if (ddb.mesh is None
+                    and os.environ.get("OPAL_TPU_NO_PANELS") != "1"
+                    and self.panel_ok(
+                        Q, gap_open, gap_ext, qprofile_np.shape[0], absmax,
+                        ddb.max_len)):
+                return self._dispatch_panels(
+                    Q, qprofile_np, ddb, int(gap_open), int(gap_ext),
+                    mode, search_type, with_flags)
             xq = self._fallback.prepare_query(qprofile_np, gap_open, gap_ext)
             return ("xla", self._fallback.dispatch_many(
                 xq, ddb, gap_open, gap_ext, mode, search_type, with_flags))
@@ -210,6 +249,55 @@ class PallasBackend:
         ]
         return ("ragged", outs)
 
+    def _dispatch_panels(self, Q, qprofile_np, ddb, gap_open, gap_ext,
+                         mode, search_type, with_flags):
+        """Query-panel streaming: the query's rows are split into
+        VMEM-sized panels; each panel sweeps the whole ragged chunk stream
+        at FULL lane width, handing per-column boundary rows to the next
+        panel through HBM (see build_pallas_panel_fn_raw). All panel
+        launches enqueue back to back (boundaries chain through device
+        values), so device work pipelines; the per-panel trackers merge on
+        host in collect_many."""
+        import jax.numpy as jnp
+
+        from ..constants import MODE_SW as _SW
+        from ..constants import SEARCH_SCORE as _SCORE
+
+        B = ddb.block_size
+        absmax = int(np.abs(qprofile_np).max()) if Q else 0
+        packed = (mode == _SW and search_type != _SCORE
+                  and pk.sw_end_packed_ok(Q, absmax, gap_ext))
+        arrays = pk.n_state_arrays(mode, search_type, with_flags, packed)
+        P = pk.max_q_pad(B, arrays)
+        env = os.environ.get("OPAL_TPU_PANEL_ROWS")
+        if env:
+            P = int(env)
+        n_panels = -(-Q // P)
+        offsets = tuple(p * P for p in range(n_panels))
+        qs = (P,) * (n_panels - 1) + (Q - P * (n_panels - 1),)
+        out_i16 = self._out_i16_ok(Q, absmax, gap_open, gap_ext,
+                                   search_type, with_flags, ddb.max_len)
+        fns, qps = [], []
+        for p in range(n_panels):
+            fns.append(pk.build_pallas_panel_fn(
+                mode, search_type, qs[p], gap_open, gap_ext, B=B,
+                with_flags=with_flags, interpret=self.interpret,
+                out_i16=out_i16, sw_end_packed=packed,
+                first=(p == 0), final=(p == n_panels - 1)))
+            qp_np = pk.prepare_qp(
+                qprofile_np[:, offsets[p] : offsets[p] + qs[p]], gap_ext)
+            qps.append(jnp.asarray(qp_np, jnp.bfloat16))
+        payload = []
+        for blocks, meta, letters, lengths in ddb.flat_parts(1):
+            trs, bnd = [], ()
+            for p in range(n_panels):
+                poff = jnp.asarray([offsets[p]], jnp.int32)
+                outs = fns[p](meta, poff, qps[p], letters, lengths, *bnd)
+                trs.append(outs[0])
+                bnd = tuple(outs[1:])  # (bh, bx) for the next panel
+            payload.append((blocks, trs))
+        return ("panel", (payload, offsets, qs))
+
     def supports_multi(self, queries, gap_open, gap_ext, B, A, matrix,
                        max_target_len=0, search_type=0, mode=None):
         """Can these queries run as one stacked launch (score-only or
@@ -246,11 +334,43 @@ class PallasBackend:
         )
         return spread < pk.MULTI_VALUE_BOUND
 
+    def _sharded_multi(self, mode, seg_key, go, ge, B, out_i16, track_end,
+                       mesh):
+        """Mesh path for the STACKED multi-query kernel: same shard_map
+        wrapping as _sharded (per-device ragged streams, replicated stacked
+        query profile), so query batches scale across chips too."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.shard import DB_AXIS
+
+        key = ("multi", mode, seg_key, go, ge, B, out_i16, track_end, mesh)
+        fn = self._sharded_cache.get(key)
+        if fn is None:
+            raw = pk.build_pallas_multi_fn_raw(
+                mode, seg_key, go, ge, B=B, interpret=self.interpret,
+                out_i16=out_i16, track_end=track_end,
+            )
+
+            def local(meta, qp, letters, lengths):
+                return raw(meta[0], qp, letters[0], lengths[0])[None]
+
+            fn = jax.jit(jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(DB_AXIS), P(), P(DB_AXIS), P(DB_AXIS)),
+                out_specs=P(DB_AXIS),
+                check_vma=False,
+            ))
+            self._sharded_cache[key] = fn
+        return fn
+
     def dispatch_multi(self, qprofiles, ddb, gap_open, gap_ext,
                        mode=None, search_type=0):
         """Stacked multi-query dispatch (ragged stream), score-only or
         score+end. Returns a handle for collect_multi; caller has checked
-        supports_multi and that ddb.mesh is None."""
+        supports_multi. Mesh-sharded databases run the stacked kernel
+        under shard_map (one chunk stream per device)."""
         import jax.numpy as jnp
 
         from ..constants import MODE_SW as _SW
@@ -271,12 +391,20 @@ class PallasBackend:
             max(seg_qs), absmax, int(gap_open), int(gap_ext),
             search_type, False, ddb.max_len,
         )
+        qp_dev = jnp.asarray(qp_np, jnp.bfloat16)
+        if ddb.mesh is not None:
+            fn = self._sharded_multi(
+                mode, seg_key, int(gap_open), int(gap_ext),
+                ddb.block_size, out_i16, track_end, ddb.mesh)
+            dev_blocks, meta, letters, lengths = ddb.flat_sharded()
+            out = np.asarray(fn(meta, qp_dev, letters, lengths))
+            outs = [(blocks, out[d]) for d, blocks in enumerate(dev_blocks)]
+            return (outs, seg_qs, mode, track_end)
         fn = pk.build_pallas_multi_fn_raw(
             mode, seg_key, int(gap_open), int(gap_ext), B=ddb.block_size,
             interpret=self.interpret, out_i16=out_i16,
             track_end=track_end,
         )
-        qp_dev = jnp.asarray(qp_np, jnp.bfloat16)
         n_rows = len(seg_qs) * (3 if track_end else 1)
         payload = (len(ddb.blocks) * n_rows * ddb.block_size
                    * (2 if out_i16 else 4))
@@ -318,6 +446,10 @@ class PallasBackend:
         if kind == "ragged" and payload is not None:
             return (kind, [(blocks, np.asarray(out))
                            for blocks, out in payload])
+        if kind == "panel":
+            parts, offsets, qs = payload
+            return (kind, ([(blocks, [np.asarray(t) for t in trs])
+                            for blocks, trs in parts], offsets, qs))
         if kind == "sharded":
             dev_blocks, out = payload
             return (kind, (dev_blocks, np.asarray(out)))
@@ -340,6 +472,19 @@ class PallasBackend:
                     out = pk.finalize_trackers(
                         np.asarray(tr[bi]).astype(np.int32, copy=False),
                         mode, search_type, Q,
+                        np.asarray(blk.lengths), with_flags,
+                    )
+                    result.append(
+                        (blk, {k: v[: blk.n] for k, v in out.items()}))
+            return result
+        if kind == "panel":
+            parts, offsets, qs = payload
+            for blocks, trs in parts:
+                for bi, blk in enumerate(blocks):
+                    out = pk.finalize_trackers_panels(
+                        [np.asarray(t[bi]).astype(np.int32, copy=False)
+                         for t in trs],
+                        offsets, qs, mode, search_type,
                         np.asarray(blk.lengths), with_flags,
                     )
                     result.append(

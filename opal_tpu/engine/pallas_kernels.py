@@ -97,6 +97,11 @@ VMEM_STATE_BUDGET = 36 * 1024 * 1024
 VMEM_STATE_BUDGET_NARROW = 64 * 1024 * 1024
 VMEM_LIMIT = 100 * 1024 * 1024  # Mosaic scoped-VMEM ceiling (v5e has 128M)
 VMEM_LIMIT_BIG = 120 * 1024 * 1024
+# DP-state bytes beyond which a config compiles with the raised ceiling:
+# compiler temporaries are not a fixed multiple of the state (measured on
+# v5e: Q_pad=3000 x B=1024 x 3 arrays fits 100M, but Q_pad=6000 x 512 x 3 —
+# the same 36.9M of state — needs 108.6M), so raise the cap with margin.
+BIG_STATE_BYTES = 24 * 1024 * 1024
 
 
 def state_budget(B: int) -> int:
@@ -220,7 +225,8 @@ def _kernel(
     qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, *rest,
     mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge, out_rows,
     is_first, is_last, chunk_t0, active=None, out_i16=False,
-    sw_end_packed=False, ncols=None,
+    sw_end_packed=False, ncols=None, panel=None, poff=None,
+    bh_in=None, bx_in=None, bh_out=None, bx_out=None,
 ):
     # One grid step advances TC DP columns of one lane-block. State resets
     # when is_first (block's first chunk) and trackers emit when is_last;
@@ -230,33 +236,40 @@ def _kernel(
     # h_ref/e_ref hold the RAMPED DP column: H~ = H + r*Ge, E~ = E + r*Ge.
     # active (ragged path): 0 marks inert shape-padding chunks — skip all
     # compute (their letters are dummies and they never init or emit).
-    if active is not None:
-        @pl.when(active())
-        def _active_body():
-            _kernel_body(
-                qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref,
-                *rest, mode=mode, track_end=track_end,
-                with_flags=with_flags, Q=Q, Q_pad=Q_pad, TC=TC, B=B,
-                go=go, ge=ge, out_rows=out_rows, is_first=is_first,
-                is_last=is_last, chunk_t0=chunk_t0, out_i16=out_i16,
-                sw_end_packed=sw_end_packed, ncols=ncols,
-            )
-        return
-    _kernel_body(
-        qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, *rest,
+    kw = dict(
         mode=mode, track_end=track_end, with_flags=with_flags, Q=Q,
         Q_pad=Q_pad, TC=TC, B=B, go=go, ge=ge, out_rows=out_rows,
         is_first=is_first, is_last=is_last, chunk_t0=chunk_t0,
         out_i16=out_i16, sw_end_packed=sw_end_packed, ncols=ncols,
+        panel=panel, poff=poff, bh_in=bh_in, bx_in=bx_in,
+        bh_out=bh_out, bx_out=bx_out,
     )
+    if active is not None:
+        @pl.when(active())
+        def _active_body():
+            _kernel_body(qp_ref, letters_ref, lengths_ref, out_ref,
+                         h_ref, e_ref, *rest, **kw)
+        return
+    _kernel_body(qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref,
+                 *rest, **kw)
 
 
 def _kernel_body(
     qp_ref, letters_ref, lengths_ref, out_ref, h_ref, e_ref, *rest,
     mode, track_end, with_flags, Q, Q_pad, TC, B, go, ge, out_rows,
     is_first, is_last, chunk_t0, out_i16=False, sw_end_packed=False,
-    ncols=None,
+    ncols=None, panel=None, poff=None, bh_in=None, bx_in=None,
+    bh_out=None, bx_out=None,
 ):
+    # panel (query-panel streaming, see build_pallas_panel_fn_raw): None
+    # for the single-panel kernel, else {"first": bool, "final": bool}.
+    # Non-first panels take their row-0 boundary per column from bh_in
+    # (previous panel's last-row H at the previous column) and bx_in (the
+    # F-chain seed at this column); non-final panels write the symmetric
+    # bh_out/bx_out for the next panel. poff() is the panel's global row
+    # offset (scalar-prefetched so interior panels share one compile);
+    # emits are role-dependent (interior panels emit only the rows a host
+    # merge needs).
     # ncols (ragged path): data-driven column count for this chunk — a
     # block's LAST chunk runs only its real t_pad - t0 columns instead of
     # the full T_CHUNK, skipping pure-padding tail columns (the 64-column
@@ -295,6 +308,11 @@ def _kernel_body(
     def _init():
         if sw or mode == MODE_OV:
             h_ref[:] = ramp                       # H = 0, ramped
+        elif panel is not None and not panel["first"]:
+            # NW/HW first-column wall continues below the panel boundary:
+            # H[off+r][-1] = -go - (off+r)*Ge -> ramped-local constant
+            h_ref[:] = jnp.full((Q_pad, B), -go, f32) - (
+                poff().astype(f32) * ge)
         else:
             h_ref[:] = jnp.full((Q_pad, B), -go, f32)   # H = -go - r*Ge, ramped
         e_ref[:] = ramp if sw else jnp.full((Q_pad, B), NEG, f32)
@@ -377,15 +395,28 @@ def _kernel_body(
     # st: per-cell value tuple threaded through a column group — (H, E)
     # plus the config's per-cell trackers (lean SW's m stays OUT and fuses
     # in the group wrapper).
+    lr_offf = float((Q - 1) * ge)  # unramp offset of the last real row
+
     def column(tt, st, carry, snap=True):
         t = chunk_t0 + tt
         Pp = compute_profile(tt)  # P + Ge
 
         Ht, Et = st[0], st[1]
+        if bh_out is not None:
+            # next panel's row-0 diag boundary at column t+1 is THIS
+            # panel's last-row full H at column t; equivalently, what the
+            # next panel needs at column t is Ht (the previous column's
+            # state) — including the init state at t=0, which encodes the
+            # mode's column -1 wall exactly.
+            bh_out[0, pl.ds(tt, 1), :] = Ht[Q - 1 : Q, :] - lr_offf
         Enew = jnp.maximum(Ht - go, Et - ge)
 
         # virtual row -1 boundary values for this column
-        if mode == MODE_NW:
+        if bh_in is not None:
+            # row 0 sits below another panel: boundary rows per column
+            ul0 = bh_in[0, pl.ds(tt, 1), :]   # H[off-1][t-1], [1, B]
+            c0 = bx_in[0, pl.ds(tt, 1), :]    # F[off][t] seed,  [1, B]
+        elif mode == MODE_NW:
             uH0 = (-go - t * ge).astype(f32)
             ul0 = jnp.where(t == 0, 0.0, uH0 + ge).astype(f32)
             c0 = jnp.maximum(uH0 - go, float(NEG - ge)).astype(f32)
@@ -411,6 +442,13 @@ def _kernel_body(
             X = jnp.maximum(X, jnp.where(row_ids >= k, shifted, NEG))
             k *= 2
         Hnew = jnp.maximum(Hp, X)
+        if bx_out is not None:
+            # next panel's F-chain seed at column t: F[off_next][t] =
+            # max(H[last][t] - Go, F[last][t] - Ge), F = X - ramp
+            bx_out[0, pl.ds(tt, 1), :] = jnp.maximum(
+                Hnew[Q - 1 : Q, :] - (lr_offf + go),
+                X[Q - 1 : Q, :] - (lr_offf + ge),
+            )
         out_st = [Hnew, Enew]
 
         # ---- trackers (carried [1,B] rows; see `carried` above) ----
@@ -619,9 +657,34 @@ def _kernel_body(
             tr_ref[pl.ds(TR_BEST_R, 1), :] = end_q
             tr_ref[pl.ds(TR_BEST_C, 1), :] = end_t
         elif mode == MODE_NW:
-            tr_ref[pl.ds(TR_NW, 1), :] = tr_ref[TR_NW : TR_NW + 1] - lr_off
+            if panel is None or panel["final"]:
+                tr_ref[pl.ds(TR_NW, 1), :] = (
+                    tr_ref[TR_NW : TR_NW + 1] - lr_off)
         elif mode == MODE_HW:
-            tr_ref[pl.ds(TR_BEST, 1), :] = tr_ref[TR_BEST : TR_BEST + 1] - lr_off
+            if panel is None or panel["final"]:
+                tr_ref[pl.ds(TR_BEST, 1), :] = (
+                    tr_ref[TR_BEST : TR_BEST + 1] - lr_off)
+        elif mode == MODE_OV and panel is not None:
+            # panel role emit: raw components only; the OV score/end
+            # disambiguation needs the cross-panel colmax and happens in
+            # the host merge (finalize_trackers_panels)
+            if panel["final"]:
+                tr_ref[pl.ds(TR_BEST, 1), :] = (
+                    tr_ref[TR_BEST : TR_BEST + 1] - lr_off)
+            if track_end:
+                Hu = m_ref[:] - ramp
+                Hmask = jnp.where(row_valid, Hu, NEG)
+                colmax = jnp.max(Hmask, axis=0, keepdims=True)
+                cand = jnp.where(
+                    row_valid & (Hu == colmax), row_f, float(Q_pad)
+                )
+                tr_ref[pl.ds(TR_OV_CMAX, 1), :] = colmax
+                tr_ref[pl.ds(TR_OV_ROW, 1), :] = jnp.min(
+                    cand, axis=0, keepdims=True)
+                if panel["final"]:
+                    tr_ref[pl.ds(TR_OV_PLRM, 1), :] = (
+                        tr_ref[TR_OV_PLRM : TR_OV_PLRM + 1] - lr_off)
+            # score-only: TR_OV_CMAX is already snapshotted per column
         elif mode == MODE_OV:
             # full OV finalize on device (reference end disambiguation,
             # src/opal.cpp:845-850,881-904): score = max(last-col max,
@@ -743,7 +806,7 @@ def build_pallas_score_fn_raw(
             ),
             compiler_params=_compiler_params(
                 interpret,
-                big_state=Q_pad * B * 4 * arrays > VMEM_STATE_BUDGET,
+                big_state=Q_pad * B * 4 * arrays > BIG_STATE_BYTES,
             ),
             interpret=interpret,
         )(qp, letters, lengths)
@@ -846,7 +909,7 @@ def build_pallas_ragged_fn_raw(
             ),
             compiler_params=_compiler_params(
                 interpret,
-                big_state=Q_pad * B * 4 * arrays > VMEM_STATE_BUDGET,
+                big_state=Q_pad * B * 4 * arrays > BIG_STATE_BYTES,
             ),
             interpret=interpret,
         )(meta, qp, letters, lengths)
@@ -858,6 +921,236 @@ def build_pallas_ragged_fn_raw(
 def build_pallas_ragged_fn(*args, **kw):
     """Jitted ragged-stream scorer (see build_pallas_ragged_fn_raw)."""
     return jax.jit(build_pallas_ragged_fn_raw(*args, **kw))
+
+
+def panel_tracker_rows(mode, search_type, with_flags, final):
+    """Tracker rows a query-panel kernel emits. Interior panels emit only
+    what the cross-panel host merge needs (SW per-panel records, OV
+    end-column stats, overflow flags); the final panel adds the last-row
+    trackers that only exist in the last real query row."""
+    track_end = search_type != SEARCH_SCORE
+    if mode == MODE_SW:
+        rows = [TR_BEST] + ([TR_BEST_R, TR_BEST_C] if track_end else [])
+    elif mode == MODE_NW:
+        rows = [TR_NW] if final else []
+    elif mode == MODE_HW:
+        rows = ([TR_BEST] + ([TR_BEST_C] if track_end else [])
+                if final else [])
+    else:  # OV: per-panel end-column stats + final-panel last-row rows
+        if track_end:
+            rows = ([TR_BEST, TR_BEST_C, TR_OV_PLRM] if final else [])
+            rows += [TR_OV_CMAX, TR_OV_ROW]
+        else:
+            rows = ([TR_BEST] if final else []) + [TR_OV_CMAX]
+    if with_flags:
+        rows += [TR_ULHP] if mode == MODE_SW else [
+            TR_MIN_E, TR_MIN_F, TR_MAX_H]
+    return tuple(rows) if rows else (TR_BEST,)  # non-empty output
+
+
+@functools.lru_cache(maxsize=None)
+def build_pallas_panel_fn_raw(
+    mode: int,
+    search_type: int,
+    Q: int,              # this panel's REAL query rows
+    go: int,
+    ge: int,
+    B: int = LANE_BLOCK,
+    with_flags: bool = False,
+    interpret: bool = False,
+    out_i16: bool = False,
+    sw_end_packed: bool = False,
+    first: bool = True,
+    final: bool = True,
+):
+    """One query panel of the panel-streamed whole-database scorer.
+
+    Query-panel streaming removes the VMEM query-length ceiling that the
+    single-launch kernels have (DP state is [Q_pad, B] f32 in VMEM): the
+    query is split into row panels of at most max_q_pad(B) rows, and each
+    panel sweeps the ENTIRE ragged chunk stream at full lane width,
+    exchanging per-column boundary rows with the next panel through HBM —
+    bh[c, tt, :] = the panel's last-row H at the previous column (the next
+    panel's row-0 diagonal boundary), bx[c, tt, :] = the next panel's
+    row-0 F-chain seed max(H_last - Go, F_last - Ge). Boundary traffic is
+    2 rows per column vs a whole [Q_pad, B] column of compute, so long
+    queries run at near short-query throughput — the TPU answer to the
+    reference's architecturally unbounded column streaming
+    (src/opal.cpp:245-249, :668-681), which the round-2 design capped at
+    ~43k residues (B=128 VMEM ceiling) with a 4-7x XLA-fallback cliff.
+
+    fn(meta[6, C] i32, poff[1] i32 (global row offset of this panel),
+       qp[Q_pad, A_PAD] bf16 (this panel's profile rows),
+       letters[C, TC, B] i8, lengths[NB, 1, B] i32,
+       *([bh_in, bx_in] f32 [C, TC, B] unless first)
+    ) -> (trackers [NB, n_rows, B], *([bh_out, bx_out] unless final))
+
+    Panels must run in order (panel p+1 consumes p's boundary outputs);
+    interior panels of a given split share one compiled kernel (the row
+    offset is an operand, not a constant). Host-merge the per-panel
+    trackers with finalize_trackers_panels."""
+    if ge > go:
+        raise ValueError("pallas path requires gap_ext <= gap_open")
+    track_end = search_type != SEARCH_SCORE
+    Q_pad = _round_up(max(Q, 16), 16)
+    arrays = n_state_arrays(mode, search_type, with_flags, sw_end_packed)
+    if Q_pad > max_q_pad(B, arrays):
+        raise ValueError(
+            f"panel too tall for lane width {B} ({Q})")
+    out_rows = panel_tracker_rows(mode, search_type, with_flags, final)
+    n_extra = arrays - 2
+    panel = {"first": first, "final": final}
+
+    def fn(meta, poff, qp, letters, lengths, *bnd_in):
+        C = letters.shape[0]
+        assert meta.shape == (6, C), meta.shape
+        assert len(bnd_in) == (0 if first else 2)
+        NB = lengths.shape[0]
+
+        def kernel_wrapper(meta_ref, poff_ref, *refs):
+            c = pl.program_id(0)
+            n_in = 3 + (0 if first else 2)
+            ins, outs = refs[:n_in], refs[n_in:]
+            qp_ref, letters_ref, lengths_ref = ins[:3]
+            bh_i, bx_i = (None, None) if first else ins[3:5]
+            out_ref = outs[0]
+            bh_o, bx_o = (None, None) if final else outs[1:3]
+            scratch = outs[1 if final else 3:]
+            functools.partial(
+                _kernel,
+                mode=mode, track_end=track_end, with_flags=with_flags,
+                Q=Q, Q_pad=Q_pad, TC=T_CHUNK, B=B, go=go, ge=ge,
+                out_rows=out_rows, out_i16=out_i16,
+                sw_end_packed=sw_end_packed,
+                is_first=lambda: meta_ref[1, c] == 1,
+                is_last=lambda: meta_ref[2, c] == 1,
+                chunk_t0=lambda: meta_ref[3, c],
+                active=lambda: meta_ref[4, c] == 1,
+                ncols=lambda: meta_ref[5, c],
+                panel=panel, poff=lambda: poff_ref[0],
+                bh_in=bh_i, bx_in=bx_i, bh_out=bh_o, bx_out=bx_o,
+            )(qp_ref, letters_ref, lengths_ref, out_ref, *scratch)
+
+        scratch = [
+            pltpu.VMEM((Q_pad, B), jnp.float32)
+            for _ in range(2 + n_extra)
+        ]
+        scratch.append(pltpu.VMEM((T_CHUNK, B), jnp.int32))
+        scratch.append(pltpu.VMEM((TR_ROWS, B), jnp.float32))
+        bnd_spec = pl.BlockSpec((1, T_CHUNK, B), lambda c, m, p: (c, 0, 0))
+        bnd_shape = jax.ShapeDtypeStruct((C, T_CHUNK, B), jnp.float32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(C,),
+            in_specs=[
+                pl.BlockSpec((Q_pad, A_PAD), lambda c, m, p: (0, 0)),
+                pl.BlockSpec((1, T_CHUNK, B), lambda c, m, p: (c, 0, 0)),
+                pl.BlockSpec((1, 1, B), lambda c, m, p: (m[0, c], 0, 0)),
+            ] + ([] if first else [bnd_spec, bnd_spec]),
+            out_specs=[
+                pl.BlockSpec((1, len(out_rows), B),
+                             lambda c, m, p: (m[0, c], 0, 0)),
+            ] + ([] if final else [bnd_spec, bnd_spec]),
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            kernel_wrapper,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (NB, len(out_rows), B),
+                    jnp.int16 if out_i16 else jnp.int32),
+            ] + ([] if final else [bnd_shape, bnd_shape]),
+            cost_estimate=pl.CostEstimate(
+                flops=(2 * Q_pad * A_PAD + 40 * Q_pad) * B * T_CHUNK * C,
+                bytes_accessed=T_CHUNK * B * C * (1 + 8 * (not first)
+                                                  + 8 * (not final)),
+                transcendentals=0,
+            ),
+            compiler_params=_compiler_params(interpret, big_state=True),
+            interpret=interpret,
+        )(meta, poff, qp, letters, lengths, *bnd_in)
+        return out
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def build_pallas_panel_fn(*args, **kw):
+    """Jitted panel scorer (see build_pallas_panel_fn_raw)."""
+    return jax.jit(build_pallas_panel_fn_raw(*args, **kw))
+
+
+def finalize_trackers_panels(trs, offsets, qs, mode, search_type,
+                             lengths, with_flags: bool = False):
+    """Merge per-panel tracker rows into score/end outputs (host side).
+
+    trs: one [n_rows_p, B] int array per panel (rows follow
+    panel_tracker_rows with final=(p == last)); offsets/qs: each panel's
+    global row offset and real row count. Reproduces the reference's
+    tie-breaks exactly across the panel boundary: best score at the
+    smallest end_t, then smallest end_q (src/opal.h:44-46); OV end
+    disambiguation via prev-last-row-max (src/opal.cpp:845-850,881-904)."""
+    n_p = len(trs)
+    Q_total = offsets[-1] + qs[-1]
+    track_end = search_type != SEARCH_SCORE
+    big = np.int64(1) << 40
+    rowmaps = []
+    for p in range(n_p):
+        rows = panel_tracker_rows(mode, search_type, with_flags,
+                                  final=(p == n_p - 1))
+        rowmaps.append(
+            {r: trs[p][j].astype(np.int64) for j, r in enumerate(rows)})
+    last = rowmaps[-1]
+    out = {}
+    if mode == MODE_SW:
+        bests = np.stack([rm[TR_BEST] for rm in rowmaps])  # [P, B]
+        score = bests.max(axis=0)
+        out["score"] = score
+        if track_end:
+            endts = np.stack([rm[TR_BEST_C] for rm in rowmaps])
+            endqs = np.stack([rowmaps[p][TR_BEST_R] + offsets[p]
+                              for p in range(n_p)])
+            att = bests == score
+            end_t = np.where(att, endts, big).min(axis=0)
+            end_q = np.where(att & (endts == end_t), endqs, big).min(axis=0)
+            out["end_q"] = end_q
+            out["end_t"] = end_t
+    elif mode == MODE_NW:
+        out["score"] = last[TR_NW]
+        if track_end:
+            out["end_q"] = np.full_like(last[TR_NW], Q_total - 1)
+            out["end_t"] = np.asarray(lengths, np.int64) - 1
+    elif mode == MODE_HW:
+        out["score"] = last[TR_BEST]
+        if track_end:
+            out["end_q"] = np.full_like(last[TR_BEST], Q_total - 1)
+            out["end_t"] = last[TR_BEST_C]
+    else:  # OV
+        cmaxs = np.stack([rm[TR_OV_CMAX] for rm in rowmaps])
+        colmax = cmaxs.max(axis=0)
+        out["score"] = np.maximum(colmax, last[TR_BEST])
+        if track_end:
+            rows_g = np.stack([rowmaps[p][TR_OV_ROW] + offsets[p]
+                               for p in range(n_p)])
+            ovrow = np.where(cmaxs == colmax, rows_g, big).min(axis=0)
+            in_last = colmax > last[TR_OV_PLRM]
+            out["end_q"] = np.where(in_last, ovrow, Q_total - 1)
+            out["end_t"] = np.where(
+                in_last, np.asarray(lengths, np.int64) - 1,
+                last[TR_BEST_C])
+    if with_flags:
+        if mode == MODE_SW:
+            out["max_ulhp"] = np.stack(
+                [rm[TR_ULHP] for rm in rowmaps]).max(axis=0)
+        else:
+            out["min_e"] = np.stack(
+                [rm[TR_MIN_E] for rm in rowmaps]).min(axis=0)
+            out["min_f"] = np.stack(
+                [rm[TR_MIN_F] for rm in rowmaps]).min(axis=0)
+            out["max_h"] = np.stack(
+                [rm[TR_MAX_H] for rm in rowmaps]).max(axis=0)
+    return out
 
 
 def _kernel_multi(

@@ -154,8 +154,9 @@ def test_readme_toy_example(engine):
 
 def test_long_query_lane_width_downshift(monkeypatch):
     """Queries whose DP state overflows VMEM at the configured lane width
-    must run on the pallas path at a narrower width (not the XLA fallback),
-    with identical scores. Budget shrunk so a small query triggers it."""
+    stay on the pallas path: by default via query-panel streaming at FULL
+    width; under OPAL_TPU_NO_PANELS=1 via the legacy lane-width downshift.
+    Budget shrunk so a small query triggers it."""
     from opal_tpu.engine import pallas_kernels as pk
     from opal_tpu.engine.pallas_backend import PallasBackend
 
@@ -163,6 +164,11 @@ def test_long_query_lane_width_downshift(monkeypatch):
     backend = PallasBackend(interpret=True)
     # Q_pad=48 state fits at B=128 (max_q_pad=80) but not 512 (16)
     assert pk.max_q_pad(512, 3) < 48 <= pk.max_q_pad(128, 3)
+    # default policy: stay at full width, stream query panels
+    assert backend.preferred_block_size(40, 3, 1, 4, 3, 3, 512) == 512
+    # legacy policy (A/B escape hatch): downshift the lane width; run the
+    # rest of the test under it (the panel path e2e is test_panels.py)
+    monkeypatch.setenv("OPAL_TPU_NO_PANELS", "1")
     assert backend.preferred_block_size(40, 3, 1, 4, 3, 3, 512) == 128
 
     eng = Engine(backend="pallas", block_size=512)

@@ -48,9 +48,10 @@ MODES = (MODE_NW, MODE_HW, MODE_OV, MODE_SW)
 
 # Fixed query-length pool: tiny, sublane-tile edges, typical, long.
 Q_POOL = (1, 15, 17, 64, 110, 300)
-# --long mode pool: exercises the lane-width downshift (B 512/256/128)
-# and the narrow-width big-VMEM configs against the oracle.
-Q_POOL_LONG = (1500, 3000, 6000, 13000)
+# --long mode pool: exercises query-panel streaming (multi-panel chains,
+# incl. lengths past the old B=128 VMEM ceiling ~43k) and, under
+# OPAL_TPU_NO_PANELS=1, the legacy lane-width downshift, vs the oracle.
+Q_POOL_LONG = (1500, 3000, 6000, 13000, 34000, 60000)
 
 # Adversarial target lengths: chunk/quantum/block edges and degenerates.
 EDGE_LENS = (1, 2, 63, 64, 65, 127, 128, 129, 191, 320)
