@@ -287,7 +287,6 @@ def search_database_multi_arrays(
     stackable = (
         search_type != SEARCH_ALIGNMENT
         and engine.config.precision != "adaptive"
-        and ddb.mesh is None
         and getattr(backend, "supports_multi", None) is not None
     )
     i = 0

@@ -125,3 +125,34 @@ def test_shard_map_step(mesh):
     got = np.asarray(out["score"])
     for i, w in enumerate(want):
         assert got[i] == w.score, i
+
+
+@pytest.mark.parametrize("search_type", [0, 1])
+def test_sharded_stacked_multi_query(search_type, mesh):
+    """Stacked multi-query batches run the multi kernel UNDER shard_map on
+    a mesh-sharded database (one chunk stream per device, stacked profile
+    replicated) — scores/ends oracle-exact per query."""
+    from opal_tpu.engine.pallas_backend import PallasBackend
+    from opal_tpu.engine.search import search_database_multi_arrays
+
+    rng = np.random.default_rng(900 + search_type)
+    _, db, matrix = random_problem(
+        rng, n_seqs=50, query_len=30, min_len=5, max_len=120)
+    queries = [rng.integers(0, 4, size=q, dtype=np.uint8)
+               for q in (20, 33, 17)]
+    eng = Engine(backend="pallas", block_size=16, mesh=mesh)
+    eng._backend = PallasBackend(interpret=True)
+    st = SEARCH_SCORE_END if search_type else 0
+    outs = search_database_multi_arrays(
+        queries, db, 3, 1, matrix, mode=MODE_SW, search_type=st,
+        engine=eng)
+    # the stacked sharded kernel must actually have been used
+    assert any(k[0] == "multi"
+               for k in eng._backend._sharded_cache), "stacked mesh path"
+    for q, out in zip(queries, outs):
+        want = search_oracle(q, db, 3, 1, matrix, MODE_SW, st)
+        for i, w in enumerate(want):
+            assert out["score"][i] == w.score, i
+            if st and not w.score == 0:
+                assert out["end_q"][i] == w.end_location_query, i
+                assert out["end_t"][i] == w.end_location_target, i
