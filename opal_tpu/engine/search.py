@@ -289,22 +289,31 @@ def search_database_multi_arrays(
         and engine.config.precision != "adaptive"
         and getattr(backend, "supports_multi", None) is not None
     )
+    # Length-aware packing: group along a 16-quantized-length sort instead
+    # of arrival order, so one long query adjacent to short ones no longer
+    # breaks a stackable group (the stacked kernel's VMEM budget is the
+    # SUM of padded segment heights — like-sized queries pack tightest).
+    # Stable sort keeps equal-length queries in arrival order; results are
+    # written back through the permutation.
+    perm = sorted(range(len(queries)),
+                  key=lambda i: (len(queries[i]) + 15) // 16)
     i = 0
-    while i < len(queries):
+    while i < len(perm):
         group = []
         if stackable:
             j = i
             while (
-                j < len(queries)
+                j < len(perm)
                 and len(group) < 8
                 and backend.supports_multi(
-                    queries[i : j + 1], gap_open, gap_ext,
+                    [queries[p] for p in perm[i : j + 1]],
+                    gap_open, gap_ext,
                     ddb.block_size, A, matrix_np,
                     max_target_len=ddb.max_len,
                     search_type=search_type, mode=mode,
                 )
             ):
-                group = queries[i : j + 1]
+                group = [queries[p] for p in perm[i : j + 1]]
                 j += 1
         if len(group) >= 2:
             qprofiles = [
@@ -326,12 +335,12 @@ def search_database_multi_arrays(
                     zero = cols["score"] == 0
                     cols["end_q"] = np.where(zero, -1, cols["end_q"])
                     cols["end_t"] = np.where(zero, -1, cols["end_t"])
-                out[i + s] = cols
+                out[perm[i + s]] = cols
             i += len(group)
         else:
-            out[i] = search_database_arrays(
-                queries[i], ddb, gap_open, gap_ext, matrix, mode=mode,
-                search_type=search_type, engine=engine,
+            out[perm[i]] = search_database_arrays(
+                queries[perm[i]], ddb, gap_open, gap_ext, matrix,
+                mode=mode, search_type=search_type, engine=engine,
             )
             i += 1
     return out

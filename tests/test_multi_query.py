@@ -225,3 +225,47 @@ def test_stacked_score_end_tie_heavy():
                     continue
                 assert (out["end_t"][i], out["end_q"][i]) == (
                     w.end_location_target, w.end_location_query), (i, mode)
+
+
+def test_length_aware_packing_fewer_launches(monkeypatch):
+    """A long query interleaved between short ones must not break the
+    stackable group: packing sorts by 16-quantized length first (VERDICT
+    r2 #4), so [short, LONG, short, short] runs as one stacked launch of
+    the shorts + one single launch — not 4 sequential launches. Results
+    stay in arrival order and oracle-exact."""
+    rng = np.random.default_rng(21)
+    A = 4
+    matrix = np.full((A, A), -1, np.int32)
+    np.fill_diagonal(matrix, 3)
+    db = [rng.integers(0, A, size=int(rng.integers(10, 60)), dtype=np.uint8)
+          for _ in range(20)]
+    # MULTI_AREA_BUDGET caps q_total at block_size=16... keep shorts tiny
+    # and the long one big enough that any group containing it rejects
+    from opal_tpu.engine import pallas_kernels as pk
+    long_len = 200
+    queries = [
+        rng.integers(0, A, size=n, dtype=np.uint8)
+        for n in (24, long_len, 30, 17)
+    ]
+    eng = _interpret_engine()
+    backend = eng._resolve_backend()
+    calls = {"multi": 0, "sizes": []}
+    orig = type(backend).dispatch_multi
+
+    def spy(self, qprofiles, *a, **kw):
+        calls["multi"] += 1
+        calls["sizes"].append([qp.shape[1] for qp in qprofiles])
+        return orig(self, qprofiles, *a, **kw)
+
+    monkeypatch.setattr(type(backend), "dispatch_multi", spy)
+    # make the long query unstackable WITH the shorts (block_size=64:
+    # the shorts' padded rows sum to 96, +208 for the long one busts it)
+    monkeypatch.setattr(pk, "MULTI_AREA_BUDGET", 96 * 64 + 8)
+    outs = search_database_multi_arrays(
+        queries, db, 3, 1, matrix, engine=eng)
+    assert calls["multi"] == 1, calls
+    assert sorted(calls["sizes"][0]) == [17, 24, 30]
+    for q, out in zip(queries, outs):
+        want = search_oracle(q, db, 3, 1, matrix, MODE_SW, SEARCH_SCORE)
+        np.testing.assert_array_equal(
+            out["score"], np.array([r.score for r in want]))

@@ -186,3 +186,98 @@ def test_serve_warm_covers_single_and_stacked(server):
     resp = json.loads(fout.getvalue().splitlines()[1])
     assert len(resp["hits"]) == 2          # one hit list per query
     assert all(len(h) == 2 for h in resp["hits"])
+
+
+def test_respond_many_matches_respond(server, tmp_path):
+    """Cross-request batching must be byte-identical to per-line handling
+    across a mixed batch: groupable single queries, a 'queries' batch, a
+    different mode, align, a cache duplicate, and a malformed request."""
+    srv, sm, rng = server
+    alpha = sm.alphabet
+    mk = lambda n: "".join(alpha[j] for j in rng.integers(0, 20, size=n))
+    reqs = [
+        {"id": 10, "query": mk(24), "top_k": 3},
+        {"id": 11, "query": mk(31), "top_k": 3},
+        {"id": 12, "query": mk(18), "top_k": 3},
+        {"id": 13, "queries": [mk(20), mk(26)], "top_k": 2},
+        {"id": 14, "query": mk(24), "mode": "NW", "top_k": 4},
+        {"id": 15, "query": mk(22), "top_k": 2, "align": True},
+        {"id": 16, "bogus": 1},
+        {"id": 10, "query": "", "top_k": 3},
+    ]
+    lines = [json.dumps(r) for r in reqs]
+    got = srv._respond_many(lines)
+    # twin server with a cold cache answers per line
+    twin = Server(srv_db_path(srv), block_size=16, backend="xla")
+    want = [twin._respond(l) for l in lines]
+    assert got == want
+
+
+def srv_db_path(srv):
+    # the fixture doesn't retain the path; rebuild a FASTA from srv.db
+    import tempfile
+
+    sm = ScoreMatrix.blosum50()
+    alpha = sm.alphabet
+    f = tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False)
+    for i, s in enumerate(srv.db):
+        f.write(f">{srv.names[i]}\n" + "".join(alpha[j] for j in s) + "\n")
+    f.close()
+    return f.name
+
+
+def test_serve_tcp_concurrent_batching(server):
+    """Concurrent TCP clients inside one batch window get answers
+    identical to serial handling (and the server keeps serving)."""
+    import socket
+    import socketserver
+    import threading
+    from unittest.mock import patch
+
+    srv, sm, rng = server
+    started = threading.Event()
+    port_box = {}
+
+    def run_srv():
+        real_init = socketserver.TCPServer.__init__
+
+        def catch_port(self, *a, **kw):
+            real_init(self, *a, **kw)
+            port_box["port"] = self.server_address[1]
+            started.set()
+
+        with patch.object(socketserver.TCPServer, "__init__", catch_port):
+            try:
+                srv.serve_tcp(0, batch_window=0.05)
+            except Exception:
+                pass
+
+    threading.Thread(target=run_srv, daemon=True).start()
+    assert started.wait(10)
+
+    alpha = sm.alphabet
+    queries = ["".join(alpha[j] for j in rng.integers(0, 20, size=n))
+               for n in (21, 27, 33, 25, 19, 29)]
+    results = {}
+
+    def client(i):
+        with socket.create_connection(("127.0.0.1", port_box["port"]),
+                                      timeout=60) as c:
+            f = c.makefile("rw")
+            json.loads(f.readline())  # banner
+            f.write(json.dumps(
+                {"id": i, "query": queries[i], "top_k": 4}) + "\n")
+            f.flush()
+            results[i] = json.loads(f.readline())
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(queries))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert len(results) == len(queries)
+    for i, q in enumerate(queries):
+        want = srv.handle({"query": q, "top_k": 4})
+        assert results[i]["id"] == i
+        assert results[i]["hits"] == want["hits"], i
