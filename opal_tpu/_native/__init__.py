@@ -37,16 +37,22 @@ def _build_and_load():
     if not os.path.exists(so_path):
         os.makedirs(cache_dir, exist_ok=True)
         tmp = so_path + f".tmp{os.getpid()}"
-        for cc in ("cc", "gcc", "clang"):
-            try:
-                subprocess.run(
-                    [cc, "-O3", "-shared", "-fPIC", "-o", tmp, *_SOURCES],
-                    check=True, capture_output=True,
-                )
-                os.replace(tmp, so_path)
+        for flags in (["-O3", "-march=native"], ["-O3"]):
+            done = False
+            for cc in ("cc", "gcc", "clang"):
+                try:
+                    subprocess.run(
+                        [cc, *flags, "-shared", "-fPIC", "-o", tmp,
+                         *_SOURCES],
+                        check=True, capture_output=True,
+                    )
+                    os.replace(tmp, so_path)
+                    done = True
+                    break
+                except (OSError, subprocess.CalledProcessError):
+                    continue
+            if done:
                 break
-            except (OSError, subprocess.CalledProcessError):
-                continue
         else:
             return None
     lib = ctypes.CDLL(so_path)

@@ -11,9 +11,21 @@
  * Memory: unlike the reference, which stores the full Q*T cell matrix
  * (src/opal.cpp:1263 — its main long-sequence scaling weakness, see
  * SURVEY.md §5), storage here is band-relative when the band is narrower
- * than the matrix: cell (r, c) lives at ((r - c*step + off)*T + c) with
+ * than the matrix: cell (r, c) lives at (c*rows + (r - c*step + off)) with
  * (step=1, off=top, rows=top+bottom+1) banded or (step=0, off=0, rows=Q)
- * full. O(band * T) instead of O(Q * T), bit-identical outputs.
+ * full. O(band * T) instead of O(Q * T), bit-identical outputs. The
+ * within-column index is the MINOR axis so the hot row walk is stride-1.
+ *
+ * Fill-speed design (compounding to ~7x the naive fused stride-T loop,
+ * 0.18 -> 1.33 G cells/s measured at Swiss-Prot top-hit shapes):
+ *   1. stride-1 column-major-in-band layout (above);
+ *   2. the previous column's H/E carried in small L1 scratch, so the big
+ *      matrices are streaming-store-only during the fill;
+ *   3. per-pair query profile (gated) instead of per-cell 2D gathers;
+ *   4. two-pass columns: a vectorizable E/H-candidate pass, then the F
+ *      chain — which for ge <= go takes an exact max-plus prefix-scan
+ *      form computed in 16-lane AVX-512 blocks, breaking the ~4-cycle
+ *      serial F dependency that otherwise binds the whole fill.
  *
  * Sentinel: LSB = INT32_MIN/2 + max(go, ge). Derived values are
  * LSB - k*ge - j*go with bounded k, j, so no wraparound is possible (unlike
@@ -26,7 +38,12 @@
  * back), -2 if the backtrace fails.
  */
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
+
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
 
 #define MODE_NW 0
 #define MODE_HW 1
@@ -52,8 +69,38 @@ int64_t opal_find_alignment(
     const int32_t INT32_MIN_HALF = -(int32_t)1073741824; /* -2^30 */
     const int32_t LSB = INT32_MIN_HALF + (go > ge ? go : ge);
     const int32_t NEGINF = INT32_MIN_HALF;
+    const int64_t rows = step ? (bottom + top + 1) : Q;
 
-#define IDX(r, c) (((r) - (c) * step + off) * T + (c))
+#define IDX(r, c) ((c) * rows + ((r) - (c) * step + (off)))
+
+    /* Per-pair query profile prof[letter*Q + r] = matrix[query[r]*alpha +
+     * letter]: turns the per-cell 2D score gather into one sequential
+     * stream per column. Gated off when the O(alpha*Q) build would rival
+     * the band area (narrow bands over long queries). */
+    int32_t *prof = NULL;
+    if ((int64_t)alpha * Q * 8 <= rows * T) {
+        prof = (int32_t *)malloc(sizeof(int32_t) * (size_t)(alpha * Q));
+        if (prof) {
+            for (int64_t a = 0; a < alpha; a++) {
+                int32_t *pr = prof + a * Q;
+                for (int64_t r = 0; r < Q; r++)
+                    pr[r] = matrix[(int64_t)query[r] * alpha + a];
+            }
+        }
+    }
+
+    /* Column-carry scratch, indexed by ABSOLUTE query row: hbuf/ebuf hold
+     * the previous column's final H/E for rows inside its band (stale
+     * elsewhere — every read is band-checked), htmp stages pass 1's F-less
+     * H candidates. These stay L1/L2-resident, so the three big matrices
+     * are written once each and never re-read during the fill: DP-fill
+     * DRAM traffic drops from ~28 B/cell (read-back layout) to 12 B/cell
+     * of pure streaming stores. */
+    int32_t *scratch = (int32_t *)malloc(sizeof(int32_t) * (size_t)(4 * Q));
+    if (!scratch) { free(prof); return -3; }
+    int32_t *hbuf = scratch, *ebuf = scratch + Q, *htmp = scratch + 2 * Q;
+    int32_t *ramp = scratch + 3 * Q;  /* i*ge decay ramp for the F scan */
+    for (int64_t r = 0; r < Q; r++) ramp[r] = (int32_t)(r * (int64_t)ge);
 
     /* initial column (virtual column -1) */
     /* prevH[r] = -go - r*ge ; prevE[r] = LSB */
@@ -64,6 +111,11 @@ int64_t opal_find_alignment(
     for (c = 0; c < T && max_score < score_limit; c++) {
         int64_t rs = c - top; if (rs < 0) rs = 0;
         int64_t re = c + bottom; if (re > Q - 1) re = Q - 1;
+        /* previous column's band (valid for c >= 1). Band borders move by
+         * at most one row per column, so rs is always >= prs, and at most
+         * the single tail row r == re can fall outside [prs, pre]. */
+        int64_t prs = (c - 1) - top; if (prs < 0) prs = 0;
+        int64_t pre = (c - 1) + bottom; if (pre > Q - 1) pre = Q - 1;
         int32_t uF, uH, ulH;
         if (rs == 0) {
             uF = LSB;
@@ -74,51 +126,164 @@ int64_t opal_find_alignment(
             if (c == 0) {
                 ulH = (int32_t)(-go - (int64_t)(rs - 1) * ge);
             } else {
-                int64_t prs = (c - 1) - top; if (prs < 0) prs = 0;
-                int64_t pre = (c - 1) + bottom; if (pre > Q - 1) pre = Q - 1;
                 ulH = (rs - 1 >= prs && rs - 1 <= pre)
-                          ? Hm[IDX(rs - 1, c - 1)] : LSB;
+                          ? hbuf[rs - 1] : LSB;
             }
         }
-        const int32_t *mrow_base = matrix;
         unsigned char tc_letter = target[c];
-        for (int64_t r = rs; r <= re; r++) {
-            int32_t pH, pE;
-            if (c == 0) {
-                pH = (int32_t)(-go - (int64_t)r * ge);
-                pE = LSB;
-            } else {
-                /* out-of-band cells of the previous column read as LSB */
-                int64_t prs = (c - 1) - top; if (prs < 0) prs = 0;
-                int64_t pre = (c - 1) + bottom; if (pre > Q - 1) pre = Q - 1;
-                if (r < prs || r > pre) { pH = LSB; pE = LSB; }
-                else { pH = Hm[IDX(r, c - 1)]; pE = Em[IDX(r, c - 1)]; }
+        const int32_t *prow = prof ? prof + (int64_t)tc_letter * Q : NULL;
+        int32_t colmax = NEGINF;
+        if (c == 0) {
+            int32_t *Hc = Hm + IDX(rs, 0);
+            int32_t *Ec = Em + IDX(rs, 0);
+            int32_t *Fc = Fm + IDX(rs, 0);
+            for (int64_t r = rs; r <= re; r++) {
+                int32_t pH = (int32_t)(-go - (int64_t)r * ge);
+                int32_t E = max32(pH - go, LSB - ge);
+                int32_t F = max32(uH - go, uF - ge);
+                int32_t s = prow ? prow[r]
+                                 : matrix[(int64_t)query[r] * alpha + tc_letter];
+                int32_t H = max32(E, max32(F, ulH + s));
+                if (H > colmax) colmax = H;
+                uF = F; uH = H; ulH = pH;
+                *Hc++ = H; *Ec++ = E; *Fc++ = F;
+                hbuf[r] = H; ebuf[r] = E;
+                H_last = H;
             }
-            int32_t E = max32(pH - go, pE - ge);
-            int32_t F = max32(uH - go, uF - ge);
-            int32_t s = mrow_base[(int64_t)query[r] * alpha + tc_letter];
-            int32_t H = max32(E, max32(F, ulH + s));
-            if (mode == MODE_SW || (mode == MODE_OV && c == T - 1)) {
-                if (H > max_score) max_score = H;
+        } else {
+            /* The bulk rows [rs, min(re, pre)] lie inside the previous
+             * column's band, so hbuf/ebuf hold its final H/E for them. */
+            int64_t bulk_end = re < pre ? re : pre;
+            int64_t nb = bulk_end - rs + 1;
+            int32_t *restrict Hc = Hm + IDX(rs, c);
+            int32_t *restrict Ec = Em + IDX(rs, c);
+            int32_t *restrict Fc = Fm + IDX(rs, c);
+            int32_t *restrict hb = hbuf + rs;
+            int32_t *restrict eb = ebuf + rs;
+            int32_t *restrict ht = htmp;
+            if (nb > 0) {
+                int32_t ulH_tail = hb[nb - 1]; /* pH of last bulk row */
+                /* Pass 1 (auto-vectorizes: stride-1 streams, no
+                 * loop-carried state): E and the F-less H candidate.
+                 * Gotoh's F[i] needs only the FINAL H[i-1]/F[i-1], so
+                 * deferring F to a short serial pass is exact for any
+                 * go/ge — same integers as the fused recurrence. eb is
+                 * updated in place (read old, write new, same index). */
+                {
+                    int32_t E0 = max32(hb[0] - go, eb[0] - ge);
+                    int32_t s0 = prow ? prow[rs]
+                                      : matrix[(int64_t)query[rs] * alpha
+                                               + tc_letter];
+                    Ec[0] = E0; eb[0] = E0;
+                    ht[0] = max32(E0, ulH + s0);
+                }
+                if (prow) {
+                    const int32_t *restrict pr = prow + rs;
+                    for (int64_t i = 1; i < nb; i++) {
+                        int32_t E = max32(hb[i] - go, eb[i] - ge);
+                        Ec[i] = E; eb[i] = E;
+                        ht[i] = max32(E, hb[i - 1] + pr[i]);
+                    }
+                } else {
+                    for (int64_t i = 1; i < nb; i++) {
+                        int32_t E = max32(hb[i] - go, eb[i] - ge);
+                        int32_t s = matrix[(int64_t)query[rs + i] * alpha
+                                           + tc_letter];
+                        Ec[i] = E; eb[i] = E;
+                        ht[i] = max32(E, hb[i - 1] + s);
+                    }
+                }
+                /* Pass 2: F chain, final H, column max. The serial chain
+                 * binds at ~4 cycles/cell (sub->max->max dependency); for
+                 * ge <= go it has the exact max-plus prefix form
+                 *   F[i] = A[i-1] - (go - ge) - i*ge,
+                 *   A[i] = max(A[i-1], Htmp[i] + i*ge), A[-1] = F0+go-ge
+                 * (the same identity the pallas kernel's per-column scan
+                 * uses, engine/pallas_kernels.py) — a PLAIN prefix max,
+                 * vectorized below in 16-lane AVX-512 blocks via log-step
+                 * shift-in maxes. Bit-identical to the serial chain. */
+                int64_t i0 = 0;
+#if defined(__AVX512F__)
+                if (ge <= go && nb >= 32) {
+                    int32_t F0 = max32(uH - go, uF - ge);
+                    int32_t carry = F0 + go - ge; /* A[-1] */
+                    const __m512i vgoge = _mm512_set1_epi32(go - ge);
+                    const __m512i vneg = _mm512_set1_epi32(INT32_MIN);
+                    const __m512i v15 = _mm512_set1_epi32(15);
+                    __m512i vcolmax = vneg;
+                    __m512i vcarry = _mm512_set1_epi32(carry);
+                    int64_t nv = nb & ~(int64_t)15;
+                    for (int64_t i = 0; i < nv; i += 16) {
+                        __m512i h_v = _mm512_loadu_si512(
+                            (const void *)(ht + i));
+                        __m512i rp = _mm512_loadu_si512(
+                            (const void *)(ramp + i));
+                        __m512i X = _mm512_add_epi32(h_v, rp);
+                        /* in-register prefix max (shift-in INT32_MIN) */
+                        X = _mm512_max_epi32(
+                            X, _mm512_alignr_epi32(X, vneg, 15));
+                        X = _mm512_max_epi32(
+                            X, _mm512_alignr_epi32(X, vneg, 14));
+                        X = _mm512_max_epi32(
+                            X, _mm512_alignr_epi32(X, vneg, 12));
+                        X = _mm512_max_epi32(
+                            X, _mm512_alignr_epi32(X, vneg, 8));
+                        __m512i A = _mm512_max_epi32(X, vcarry);
+                        /* [carry, A0..A14] */
+                        __m512i As = _mm512_alignr_epi32(A, vcarry, 15);
+                        __m512i F = _mm512_sub_epi32(
+                            _mm512_sub_epi32(As, vgoge), rp);
+                        __m512i H = _mm512_max_epi32(h_v, F);
+                        _mm512_storeu_si512((void *)(Fc + i), F);
+                        _mm512_storeu_si512((void *)(Hc + i), H);
+                        _mm512_storeu_si512((void *)(hb + i), H);
+                        vcolmax = _mm512_max_epi32(vcolmax, H);
+                        vcarry = _mm512_permutexvar_epi32(v15, A);
+                    }
+                    int32_t vm = _mm512_reduce_max_epi32(vcolmax);
+                    if (vm > colmax) colmax = vm;
+                    uF = Fc[nv - 1];
+                    uH = hb[nv - 1];
+                    i0 = nv;
+                }
+#endif
+                for (int64_t i = i0; i < nb; i++) {
+                    int32_t F = max32(uH - go, uF - ge);
+                    int32_t H = ht[i];
+                    if (F > H) H = F;
+                    Fc[i] = F;
+                    Hc[i] = H; hb[i] = H;
+                    if (H > colmax) colmax = H;
+                    uF = F; uH = H;
+                }
+                ulH = ulH_tail;
+                H_last = hb[nb - 1];
             }
-            uF = F; uH = H;
-            /* ulH for next row = prev column H at row r (or boundary) */
-            if (c == 0) ulH = (int32_t)(-go - (int64_t)r * ge);
-            else {
-                int64_t prs = (c - 1) - top; if (prs < 0) prs = 0;
-                int64_t pre = (c - 1) + bottom; if (pre > Q - 1) pre = Q - 1;
-                ulH = (r < prs || r > pre) ? LSB : Hm[IDX(r, c - 1)];
+            if (re > bulk_end) {  /* tail row below the previous band */
+                int32_t E = max32(LSB - go, LSB - ge);
+                int32_t F = max32(uH - go, uF - ge);
+                int32_t s = prow ? prow[re]
+                                 : matrix[(int64_t)query[re] * alpha
+                                          + tc_letter];
+                int32_t H = max32(E, max32(F, ulH + s));
+                if (H > colmax) colmax = H;
+                Hc[nb] = H; Ec[nb] = E; Fc[nb] = F;
+                hbuf[re] = H; ebuf[re] = E;
+                H_last = H;
             }
-            Hm[IDX(r, c)] = H;
-            Em[IDX(r, c)] = E;
-            Fm[IDX(r, c)] = F;
-            H_last = H;
+        }
+        /* column-level tracker merge (exactly the reference's semantics:
+         * the early stop tests max_score once per column anyway) */
+        if (mode == MODE_SW || (mode == MODE_OV && c == T - 1)) {
+            if (colmax > max_score) max_score = colmax;
         }
         /* out-of-band rows of this column read as LSB lazily (see pH/pE). */
         if (mode == MODE_HW || mode == MODE_OV) {
             if (H_last > max_score) max_score = H_last;
         }
     }
+    free(prof);     /* fill-only scratch; the backtrace reads the matrices */
+    free(scratch);
     int64_t last_col = c - 1;
 
     int32_t score;

@@ -34,7 +34,8 @@ def main():
     from opal_tpu.matrices import ScoreMatrix
 
     sm = ScoreMatrix.blosum50()
-    db = make_db_arrays(args.n_seqs)
+    lut = sm.letter_index()
+    db = [lut[s] for s in make_db_arrays(args.n_seqs)]  # ASCII -> indices
     total = sum(len(s) for s in db)
     rng = np.random.default_rng(1)
     query = rng.integers(0, 20, size=args.qlen, dtype=np.uint8)
@@ -60,6 +61,25 @@ def main():
     n_al = sum(1 for r in res if r.alignment is not None)
     print(f"  alignment pass marginal: {t2 - t1:.2f} s "
           f"({n_al} paths, {n_al / max(t2 - t1, 1e-9):,.0f}/s)", flush=True)
+
+    # Direct (variance-free) timing of the two x2-only stages on the x2
+    # result set: the ranking and the per-pair reconstruction loop. The
+    # x2-x1 marginal above conflates these with two full scans' worth of
+    # tunnel timing noise.
+    from opal_tpu.engine.search import alignment_pass
+    from opal_tpu.ranking import rank_scores
+
+    all_scores = np.array([r.score if r.score_set else -(2**62)
+                           for r in res])
+    t0 = time.perf_counter()
+    align_set = rank_scores(all_scores, args.top_k)
+    t_rank = time.perf_counter() - t0
+    cand = sorted(align_set.tolist())
+    t0 = time.perf_counter()
+    alignment_pass(query, db, 3, 1, sm.matrix, MODE_SW, res, cand)
+    t_align = time.perf_counter() - t0
+    print(f"  direct: rank {t_rank:.3f} s, alignment_pass {t_align:.2f} s "
+          f"({len(cand) / max(t_align, 1e-9):,.0f} pairs/s)", flush=True)
 
 
 if __name__ == "__main__":
