@@ -72,7 +72,9 @@ def _build_and_load():
         ctypes.c_int32, ctypes.c_int32,    # score_limit, mode
         ctypes.c_int64, ctypes.c_int64,    # bottom, top
         ctypes.c_int64, ctypes.c_int64,    # step, off (storage mapping)
+        ctypes.c_int64,                    # ck (0 = full store)
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # Hm, Em, Fm
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # Hk, Ek, Fk
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # score, eq, et
         ctypes.c_void_p, ctypes.c_void_p,  # ops, ops_len
     ]
@@ -106,7 +108,9 @@ class _WorkBuffers(_threading.local):
 
     def __init__(self):
         self.size = 0
+        self.ksize = 0
         self.H = self.E = self.F = None
+        self.Hk = self.Ek = self.Fk = None
 
     # dict-style access kept for tests/introspection
     def __getitem__(self, k):
@@ -118,11 +122,21 @@ class _WorkBuffers(_threading.local):
 
 _work = _WorkBuffers()
 
+# Above this many stored cells (rows * T), the DP switches to checkpointed
+# storage: keep every ck-th column (ck ~ sqrt(T)), re-derive ck-column
+# blocks during the backtrace — O(band * sqrt(T)) memory, bit-identical
+# outputs, at most one extra fill's worth of recompute. Removes the
+# reference's O(Q*T) traceback-memory ceiling (src/opal.cpp:1263).
+# 32M cells = 384 MB of full-store matrices at the threshold.
+_FULL_CELLS_DEFAULT = 32_000_000
+
 
 def find_alignment_native(query, target, go, ge, matrix, score_limit, mode,
                           bottom, top):
     """Native banded find_alignment; returns (score, end_q, end_t, ops) or
     None when native is unavailable or reports a fallback condition."""
+    import math
+
     import numpy as np
 
     lib = _get_lib()
@@ -139,12 +153,27 @@ def find_alignment_native(query, target, go, ge, matrix, score_limit, mode,
         rows, step, off = W, 1, int(top)
     else:
         rows, step, off = Q, 0, 0
-    need = rows * T
+    full_cells = int(os.environ.get("OPAL_TPU_TB_FULL_CELLS",
+                                    _FULL_CELLS_DEFAULT))
+    ck = 0
+    if rows * T > full_cells:
+        ck = max(1, math.isqrt(T - 1) + 1)  # ceil(sqrt(T))
+    if ck:
+        need = rows * ck
+        kneed = rows * (T // ck)
+    else:
+        need = rows * T
+        kneed = 0
     if _work["size"] < need:
         _work["H"] = np.empty(need, np.int32)
         _work["E"] = np.empty(need, np.int32)
         _work["F"] = np.empty(need, np.int32)
         _work["size"] = need
+    if kneed and _work["ksize"] < kneed:
+        _work["Hk"] = np.empty(kneed, np.int32)
+        _work["Ek"] = np.empty(kneed, np.int32)
+        _work["Fk"] = np.empty(kneed, np.int32)
+        _work["ksize"] = kneed
     score = np.zeros(1, np.int32)
     end_q = np.zeros(1, np.int64)
     end_t = np.zeros(1, np.int64)
@@ -154,9 +183,12 @@ def find_alignment_native(query, target, go, ge, matrix, score_limit, mode,
         q.ctypes.data, Q, t.ctypes.data, T,
         np.int32(go), np.int32(ge), m.ctypes.data, m.shape[0],
         np.int32(score_limit), np.int32(mode), int(bottom), int(top),
-        step, off,
+        step, off, ck,
         _work["H"].ctypes.data, _work["E"].ctypes.data,
         _work["F"].ctypes.data,
+        _work["Hk"].ctypes.data if ck else None,
+        _work["Ek"].ctypes.data if ck else None,
+        _work["Fk"].ctypes.data if ck else None,
         score.ctypes.data, end_q.ctypes.data, end_t.ctypes.data,
         ops.ctypes.data, ops_len.ctypes.data,
     )

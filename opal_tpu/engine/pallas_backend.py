@@ -269,6 +269,14 @@ class PallasBackend:
                   and pk.sw_end_packed_ok(Q, absmax, gap_ext))
         arrays = pk.n_state_arrays(mode, search_type, with_flags, packed)
         P = pk.max_q_pad(B, arrays)
+        if search_type != _SCORE:
+            # Score+end kernel bodies keep more live per-column [P, B]
+            # temporaries (end-tracker state threaded across the
+            # COL_UNROLL group): at the full x0 ceiling Mosaic spills
+            # ~94 MB of register slots and exceeds VMEM (measured at
+            # P=3072, B=1024, SW x1 packed). Half-height panels leave
+            # ~2x headroom; boundary traffic stays 2 rows/column.
+            P = max(16, (P // 2) // 16 * 16)
         env = os.environ.get("OPAL_TPU_PANEL_ROWS")
         if env:
             P = int(env)

@@ -195,3 +195,79 @@ def test_hw_narrow_band_last_row_anchor_regression():
         assert r.score == w.score, i
         if r.alignment is not None:
             check_alignment(query, db[i], r, go, ge, matrix, MODE_HW)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_checkpointed_storage_bit_identical(mode, monkeypatch):
+    """Checkpointed (O(band*sqrt(T))) storage must reproduce the full-store
+    native path bit-exactly: same score, end location, AND op path, across
+    modes, banded and full-band geometries."""
+    if _native._get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(91 + mode)
+    query, db, matrix = random_problem(
+        rng, n_seqs=8, query_len=80, min_len=40, max_len=220
+    )
+    from opal_tpu.constants import SEARCH_SCORE_END
+
+    want = search_oracle(query, db, 3, 1, matrix, mode, SEARCH_SCORE_END)
+    n_checked = 0
+    for t, w in zip(db, want):
+        if mode == MODE_SW and w.score == 0:
+            continue
+        for full_band in (False, True):
+            args = (
+                query[: w.end_location_query + 1][::-1],
+                t[: w.end_location_target + 1][::-1],
+                3, 1, matrix, w.score, mode,
+            )
+            monkeypatch.delenv("OPAL_TPU_TB_FULL_CELLS", raising=False)
+            full = find_alignment(*args, full_band=full_band)
+            # force checkpointing for every pair (ck = ceil(sqrt(T)))
+            monkeypatch.setenv("OPAL_TPU_TB_FULL_CELLS", "1")
+            ckpt = find_alignment(*args, full_band=full_band)
+            assert ckpt[0] == full[0] == w.score
+            assert (ckpt[1], ckpt[2]) == (full[1], full[2])
+            np.testing.assert_array_equal(ckpt[3], full[3])
+            n_checked += 1
+    assert n_checked >= 4
+
+
+def test_checkpointed_memory_shrinks(monkeypatch):
+    """With checkpointing forced, the allocated window+checkpoint buffers
+    must be far below the full band area."""
+    if _native._get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(12)
+    A = 20
+    matrix = np.full((A, A), -2, np.int32)
+    np.fill_diagonal(matrix, 5)
+    Q = 600
+    query = rng.integers(0, A, size=Q, dtype=np.uint8)
+    target = rng.integers(0, A, size=3000, dtype=np.uint8)
+    from opal_tpu.constants import SEARCH_SCORE_END
+    from opal_tpu.result import SearchResult
+
+    w = search_oracle(query, [target], 3, 1, matrix, MODE_SW,
+                      SEARCH_SCORE_END)[0]
+    monkeypatch.setenv("OPAL_TPU_TB_FULL_CELLS", "1")
+    _native._work["size"] = 0
+    _native._work["ksize"] = 0
+    _native._work["H"] = _native._work["E"] = _native._work["F"] = None
+    _native._work["Hk"] = _native._work["Ek"] = _native._work["Fk"] = None
+    sq, st, ops = align_pair_reverse_trick(
+        query, target, 3, 1, matrix, w.score,
+        w.end_location_query, w.end_location_target, MODE_SW,
+    )
+    allocated = _native._work["size"] + _native._work["ksize"]
+    assert allocated > 0, "native path did not run"
+    full = (w.end_location_query + 1) * (w.end_location_target + 1)
+    assert allocated < full / 5, (allocated, full)
+    res = SearchResult(
+        score_set=1, score=w.score,
+        end_location_query=w.end_location_query,
+        end_location_target=w.end_location_target,
+        start_location_query=sq, start_location_target=st,
+        alignment=ops, alignment_length=len(ops),
+    )
+    check_alignment(query, target, res, 3, 1, matrix, MODE_SW)
