@@ -268,15 +268,26 @@ class PallasBackend:
         packed = (mode == _SW and search_type != _SCORE
                   and pk.sw_end_packed_ok(Q, absmax, gap_ext))
         arrays = pk.n_state_arrays(mode, search_type, with_flags, packed)
-        P = pk.max_q_pad(B, arrays)
+        # Panel height: the VMEM ceiling is NOT the optimum. Hardware sweep
+        # (tools/exp_panel_rows.py, Q=16000, SW x0, B=1024, in-process
+        # best-of-4): rows 1280/1504/2048 all 105.7-106.7 GCUPS, 2560 =
+        # 98.6, the 3072 VMEM-maximal height only 76.5 (the scan's
+        # 3*ceil(log2(P)) ops/cell grows with P and the maximal height
+        # sits at the VMEM edge), 1024 = 102, 768 and below collapse on
+        # per-column fixed costs (68.7 -> 23.9 at 256). The cap also makes
+        # interior-panel compiles shape-stable across query lengths (the
+        # first/interior panels always have exactly PANEL_ROWS_CAP rows,
+        # so one compile serves any long query) and cuts Mosaic compile
+        # ~4x vs the 3072-row kernel (50 s -> 198 s measured).
+        P = min(pk.max_q_pad(B, arrays), pk.PANEL_ROWS_CAP)
         if search_type != _SCORE:
             # Score+end kernel bodies keep more live per-column [P, B]
             # temporaries (end-tracker state threaded across the
-            # COL_UNROLL group): at the full x0 ceiling Mosaic spills
-            # ~94 MB of register slots and exceeds VMEM (measured at
-            # P=3072, B=1024, SW x1 packed). Half-height panels leave
-            # ~2x headroom; boundary traffic stays 2 rows/column.
-            P = max(16, (P // 2) // 16 * 16)
+            # COL_UNROLL group): Mosaic spills ~94 MB of register slots
+            # and exceeds VMEM when the panel AREA reaches ~3M cells
+            # (measured: P=3072 x B=1024, SW x1 packed, fails to compile;
+            # half that area fits) — cap the area, not just the rows.
+            P = min(P, max(16, (pk.PANEL_X1_AREA // B) // 16 * 16))
         env = os.environ.get("OPAL_TPU_PANEL_ROWS")
         if env:
             P = int(env)

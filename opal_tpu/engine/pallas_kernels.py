@@ -103,6 +103,13 @@ VMEM_LIMIT_BIG = 120 * 1024 * 1024
 # the same 36.9M of state — needs 108.6M), so raise the cap with margin.
 BIG_STATE_BYTES = 24 * 1024 * 1024
 
+# Query-panel streaming: panel height cap and the score+end panel AREA
+# ceiling (cells) past which Mosaic's threaded end-tracker temporaries
+# spill out of VMEM. See PallasBackend._dispatch_panels for the measured
+# sweep behind both numbers.
+PANEL_ROWS_CAP = 1504
+PANEL_X1_AREA = 1536 * 1024
+
 
 def state_budget(B: int) -> int:
     return VMEM_STATE_BUDGET_NARROW if B <= 128 else VMEM_STATE_BUDGET

@@ -78,6 +78,9 @@ def main():
                 rows[label] = (out, gcups, dt)
                 print(f"  Q={qlen} {label:7s}: {gcups:7.1f} GCUPS "
                       f"({dt*1e3:.0f} ms)", flush=True)
+            except Exception as e:  # a lane may not compile at this Q
+                print(f"  Q={qlen} {label:7s}: FAILS "
+                      f"({type(e).__name__}: {str(e)[:90]})", flush=True)
             finally:
                 for k in env:
                     os.environ.pop(k, None)
