@@ -204,8 +204,7 @@ class PallasBackend:
             Q, gap_open, gap_ext, B, A=qprofile_np.shape[0],
             arrays=pk.n_state_arrays(mode, search_type, with_flags, packed),
         ):
-            if (ddb.mesh is None
-                    and os.environ.get("OPAL_TPU_NO_PANELS") != "1"
+            if (os.environ.get("OPAL_TPU_NO_PANELS") != "1"
                     and self.panel_ok(
                         Q, gap_open, gap_ext, qprofile_np.shape[0], absmax,
                         ddb.max_len)):
@@ -298,14 +297,29 @@ class PallasBackend:
                                    search_type, with_flags, ddb.max_len)
         fns, qps = [], []
         for p in range(n_panels):
-            fns.append(pk.build_pallas_panel_fn(
-                mode, search_type, qs[p], gap_open, gap_ext, B=B,
-                with_flags=with_flags, interpret=self.interpret,
-                out_i16=out_i16, sw_end_packed=packed,
-                first=(p == 0), final=(p == n_panels - 1)))
+            first, final = p == 0, p == n_panels - 1
+            if ddb.mesh is not None:
+                fns.append(self._sharded_panel(
+                    mode, search_type, qs[p], gap_open, gap_ext, B,
+                    with_flags, out_i16, packed, first, final, ddb.mesh))
+            else:
+                fns.append(pk.build_pallas_panel_fn(
+                    mode, search_type, qs[p], gap_open, gap_ext, B=B,
+                    with_flags=with_flags, interpret=self.interpret,
+                    out_i16=out_i16, sw_end_packed=packed,
+                    first=first, final=final))
             qp_np = pk.prepare_qp(
                 qprofile_np[:, offsets[p] : offsets[p] + qs[p]], gap_ext)
             qps.append(jnp.asarray(qp_np, jnp.bfloat16))
+        if ddb.mesh is not None:
+            dev_blocks, meta, letters, lengths = ddb.flat_sharded()
+            trs, bnd = [], ()
+            for p in range(n_panels):
+                poff = jnp.asarray([offsets[p]], jnp.int32)
+                outs = fns[p](meta, poff, qps[p], letters, lengths, *bnd)
+                trs.append(outs[0])
+                bnd = tuple(outs[1:])
+            return ("panel_sharded", (dev_blocks, trs, offsets, qs))
         payload = []
         for blocks, meta, letters, lengths in ddb.flat_parts(1):
             trs, bnd = [], ()
@@ -316,6 +330,52 @@ class PallasBackend:
                 bnd = tuple(outs[1:])  # (bh, bx) for the next panel
             payload.append((blocks, trs))
         return ("panel", (payload, offsets, qs))
+
+    def _sharded_panel(self, mode, search_type, q, go, ge, B, with_flags,
+                       out_i16, packed, first, final, mesh):
+        """Mesh path for ONE query panel: the panel kernel under shard_map.
+
+        Each device sweeps its own ragged chunk stream (leading device
+        axis sharded on 'db', same layout as _sharded); the panel's
+        profile rows and global row offset are replicated. The chained
+        boundary rows bh/bx are PER-LANE state of each device's own
+        stream, so they shard on 'db' with the stream — the panel chain
+        needs no collectives, exactly like the single-device case. This
+        closes the round-3 gap where long queries on a mesh-sharded DB
+        silently fell off the pallas fast path (the reference's column
+        streaming is unbounded per lane, src/opal.cpp:245-249,668-681)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.shard import DB_AXIS
+
+        key = ("panel", mode, search_type, q, go, ge, B, with_flags,
+               out_i16, packed, first, final, mesh)
+        fn = self._sharded_cache.get(key)
+        if fn is None:
+            raw = pk.build_pallas_panel_fn_raw(
+                mode, search_type, q, go, ge, B=B, with_flags=with_flags,
+                interpret=self.interpret, out_i16=out_i16,
+                sw_end_packed=packed, first=first, final=final,
+            )
+
+            def local(meta, poff, qp, letters, lengths, *bnd):
+                outs = raw(meta[0], poff, qp, letters[0], lengths[0],
+                           *[b[0] for b in bnd])
+                return tuple(o[None] for o in outs)
+
+            n_in_bnd = 0 if first else 2
+            n_out_bnd = 0 if final else 2
+            fn = jax.jit(jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(DB_AXIS), P(), P(), P(DB_AXIS), P(DB_AXIS))
+                + (P(DB_AXIS),) * n_in_bnd,
+                out_specs=(P(DB_AXIS),) * (1 + n_out_bnd),
+                check_vma=False,
+            ))
+            self._sharded_cache[key] = fn
+        return fn
 
     def supports_multi(self, queries, gap_open, gap_ext, B, A, matrix,
                        max_target_len=0, search_type=0, mode=None):
@@ -472,6 +532,10 @@ class PallasBackend:
         if kind == "sharded":
             dev_blocks, out = payload
             return (kind, (dev_blocks, np.asarray(out)))
+        if kind == "panel_sharded":
+            dev_blocks, trs, offsets, qs = payload
+            return (kind, (dev_blocks, [np.asarray(t) for t in trs],
+                           offsets, qs))
         return (kind, jax.device_get(payload) if payload is not None
                 else None)
 
@@ -504,6 +568,19 @@ class PallasBackend:
                         [np.asarray(t[bi]).astype(np.int32, copy=False)
                          for t in trs],
                         offsets, qs, mode, search_type,
+                        np.asarray(blk.lengths), with_flags,
+                    )
+                    result.append(
+                        (blk, {k: v[: blk.n] for k, v in out.items()}))
+            return result
+        if kind == "panel_sharded":
+            dev_blocks, trs, offsets, qs = payload
+            trs = [np.asarray(t).astype(np.int32, copy=False) for t in trs]
+            for d, blocks in enumerate(dev_blocks):
+                for bi, blk in enumerate(blocks):
+                    out = pk.finalize_trackers_panels(
+                        [t[d, bi] for t in trs], offsets, qs,
+                        mode, search_type,
                         np.asarray(blk.lengths), with_flags,
                     )
                     result.append(

@@ -156,3 +156,34 @@ def test_sharded_stacked_multi_query(search_type, mesh):
             if st and not w.score == 0:
                 assert out["end_q"][i] == w.end_location_query, i
                 assert out["end_t"][i] == w.end_location_target, i
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("search_type", [0, 1])
+def test_sharded_panels_match_oracle(mode, search_type, mesh, monkeypatch):
+    """Query-panel streaming UNDER mesh sharding (round-3 top gap): the
+    query's row panels sweep each device's own ragged chunk stream under
+    shard_map, with the bh/bx boundary rows chained per device (they are
+    per-lane state, so no collectives) — scores and end locations must be
+    oracle-exact on 8 virtual devices. Reference analog: unbounded
+    per-lane column streaming, src/opal.cpp:245-249,668-681."""
+    from opal_tpu.engine.pallas_backend import PallasBackend
+
+    monkeypatch.setenv("OPAL_TPU_FORCE_PANELS", "1")
+    monkeypatch.setenv("OPAL_TPU_PANEL_ROWS", "32")
+    rng = np.random.default_rng(4000 + 2 * mode + search_type)
+    query, db, matrix = random_problem(
+        rng, n_seqs=40, query_len=80, min_len=5, max_len=120)
+    eng = Engine(backend="pallas", block_size=16, mesh=mesh)
+    eng._backend = PallasBackend(interpret=True)
+    st = SEARCH_SCORE_END if search_type else 0
+    got = search_database(query, db, 3, 1, matrix, mode=mode,
+                          search_type=st, engine=eng)
+    assert any(k[0] == "panel" for k in eng._backend._sharded_cache), \
+        "panel mesh path must have been used"
+    want = search_oracle(query, db, 3, 1, matrix, mode, st)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g.score == w.score, (i, g.score, w.score)
+        if st:
+            assert g.end_location_query == w.end_location_query, i
+            assert g.end_location_target == w.end_location_target, i
