@@ -183,7 +183,10 @@ class PallasBackend:
         return True
 
     def dispatch_many(self, qprep, ddb, gap_open, gap_ext, mode,
-                      search_type, with_flags=False):
+                      search_type, with_flags=False, single_part=False):
+        # single_part: the caller will NOT download the full tracker
+        # payload (device-side top-k) — the multi-part split only exists
+        # to pipeline big downloads, so skip it
         if qprep[0] == "xla":
             return ("xla", self._fallback.dispatch_many(
                 qprep[1], ddb, gap_open, gap_ext, mode, search_type,
@@ -240,6 +243,8 @@ class PallasBackend:
         rows = len(pk.tracker_rows(mode, search_type, with_flags))
         payload = len(ddb.blocks) * rows * B * (2 if out_i16 else 4)
         cap = int(os.environ.get("OPAL_TPU_FETCH_PARTS", "2"))
+        if single_part:
+            cap = 1
         k = max(1, min(cap, payload // self.SPLIT_PAYLOAD_BYTES))
         parts = ddb.flat_parts(int(k))
         outs = [
@@ -445,7 +450,7 @@ class PallasBackend:
         return fn
 
     def dispatch_multi(self, qprofiles, ddb, gap_open, gap_ext,
-                       mode=None, search_type=0):
+                       mode=None, search_type=0, single_part=False):
         """Stacked multi-query dispatch (ragged stream), score-only or
         score+end. Returns a handle for collect_multi; caller has checked
         supports_multi. Mesh-sharded databases run the stacked kernel
@@ -487,7 +492,8 @@ class PallasBackend:
         n_rows = len(seg_qs) * (3 if track_end else 1)
         payload = (len(ddb.blocks) * n_rows * ddb.block_size
                    * (2 if out_i16 else 4))
-        k = max(1, min(2, payload // self.SPLIT_PAYLOAD_BYTES))
+        k = max(1, min(1 if single_part else 2,
+                       payload // self.SPLIT_PAYLOAD_BYTES))
         parts = ddb.flat_parts(int(k))
         outs = [
             (blocks, fn(meta, qp_dev, letters, lengths))

@@ -144,12 +144,21 @@ class Engine:
         search_type: int,
         subset=None,
         with_flags: bool = False,
+        top_k: int = 0,
     ):
         """Score (a subset of) the DB. Returns (indices, columns) where
         columns is a dict of per-index arrays (score [+ end_q/end_t]).
 
         Dispatch is fully asynchronous: every block is enqueued before the
         first result is pulled back, so device work and transfers pipeline.
+
+        top_k > 0: return only the k best rows, ranked by the reference
+        tie-break (score desc, DB index asc). On the pallas backend the
+        selection runs ON DEVICE (engine/ranked.py) and the download is
+        O(k) instead of O(n) — the whole-database payload used to dominate
+        end-to-end latency on tunneled devices; payloads without a device
+        fast path (XLA fallback, query panels) collect fully and rank on
+        host, same output.
         """
         backend = self._resolve_backend()
         qprofile = np.ascontiguousarray(
@@ -199,7 +208,18 @@ class Engine:
         handle = backend.dispatch_many(
             qprep, ddb, int(gap_open), int(gap_ext),
             mode, search_type, with_flags,
+            single_part=bool(top_k and index_map is None
+                             and not with_flags),
         )
+        if top_k and index_map is None and not with_flags:
+            if (isinstance(handle, tuple) and len(handle) == 2
+                    and isinstance(handle[0], str)):
+                from .ranked import topk_from_handle
+
+                out = topk_from_handle(
+                    handle, ddb, mode, search_type, Q, top_k)
+                if out is not None:
+                    return out.pop("index"), out
         handle = backend.gather(handle)  # one device->host round trip
         per_block = backend.collect_many(
             handle, ddb, mode, search_type, Q, with_flags
@@ -214,7 +234,12 @@ class Engine:
         if not all_idx:
             return np.zeros(0, np.int64), {}
         idx = np.concatenate(all_idx)
-        return idx, {k: np.concatenate(v) for k, v in cols.items()}
+        cols = {k: np.concatenate(v) for k, v in cols.items()}
+        if top_k:
+            from ..ranking import rank_rows
+
+            return rank_rows(idx, cols, top_k)
+        return idx, cols
 
 
 def search_database_arrays(
@@ -226,10 +251,16 @@ def search_database_arrays(
     mode: int = MODE_SW,
     search_type: int = SEARCH_SCORE,
     engine: Optional[Engine] = None,
+    top_k: int = 0,
 ):
     """Array-level search: returns a dict of [n] numpy arrays in DB order
     ("score" [+ "end_q"/"end_t"]). The zero-copy path for ranking, serving,
-    and benchmarking (the object API wraps this)."""
+    and benchmarking (the object API wraps this).
+
+    top_k > 0: returns the RANKED shape instead — {"index", "score"
+    [, "end_q", "end_t"]} arrays of the k best sequences (score desc,
+    index asc). Selection runs on device where possible (engine/ranked.py)
+    so the result download is O(k), not O(n)."""
     if matrix is None:
         raise ValueError("matrix is required")
     engine = engine or get_default_engine()
@@ -237,6 +268,17 @@ def search_database_arrays(
     from .device_db import DeviceDatabase
 
     n = db.n if isinstance(db, DeviceDatabase) else len(db)
+    if top_k:
+        idx, cols = engine.score_blocks(
+            query, db, gap_open, gap_ext, matrix, mode, search_type,
+            top_k=top_k,
+        )
+        out = {"index": idx, **cols}
+        if search_type != SEARCH_SCORE and mode == MODE_SW:
+            zero = out["score"] == 0
+            out["end_q"] = np.where(zero, -1, out["end_q"])
+            out["end_t"] = np.where(zero, -1, out["end_t"])
+        return out
     idx, cols = engine.score_blocks(
         query, db, gap_open, gap_ext, matrix, mode, search_type
     )
@@ -261,9 +303,12 @@ def search_database_multi_arrays(
     mode: int = MODE_SW,
     search_type: int = SEARCH_SCORE,
     engine: Optional[Engine] = None,
+    top_k: int = 0,
 ):
     """Many-queries-vs-database search. Returns one array-dict per query
-    (see search_database_arrays), in query order.
+    (see search_database_arrays), in query order. top_k > 0 switches each
+    dict to the RANKED shape ({"index", "score"[, ends]} of the k best,
+    score desc / index asc), selected on device where possible.
 
     This is the production serving shape (a batch of queries against a
     resident database) the reference has no equivalent for (its CLI reads
@@ -322,7 +367,23 @@ def search_database_multi_arrays(
             ]
             handle = backend.dispatch_multi(qprofiles, ddb, gap_open,
                                             gap_ext, mode=mode,
-                                            search_type=search_type)
+                                            search_type=search_type,
+                                            single_part=bool(top_k))
+            ranked = None
+            if top_k:
+                from .ranked import topk_from_multi_handle
+
+                ranked = topk_from_multi_handle(handle, ddb, top_k)
+            if ranked is not None:
+                for s in range(len(group)):
+                    r = ranked[s]
+                    if search_type != SEARCH_SCORE and mode == MODE_SW:
+                        zero = r["score"] == 0
+                        r["end_q"] = np.where(zero, -1, r["end_q"])
+                        r["end_t"] = np.where(zero, -1, r["end_t"])
+                    out[perm[i + s]] = r
+                i += len(group)
+                continue
             per_query = backend.collect_multi(handle, ddb)
             for s in range(len(group)):
                 cols: dict = {}
@@ -335,12 +396,19 @@ def search_database_multi_arrays(
                     zero = cols["score"] == 0
                     cols["end_q"] = np.where(zero, -1, cols["end_q"])
                     cols["end_t"] = np.where(zero, -1, cols["end_t"])
+                if top_k:
+                    from ..ranking import rank_rows
+
+                    ridx, rcols = rank_rows(
+                        np.arange(ddb.n), cols, top_k)
+                    cols = {"index": ridx, **rcols}
                 out[perm[i + s]] = cols
             i += len(group)
         else:
             out[perm[i]] = search_database_arrays(
                 queries[perm[i]], ddb, gap_open, gap_ext, matrix,
                 mode=mode, search_type=search_type, engine=engine,
+                top_k=top_k,
             )
             i += 1
     return out

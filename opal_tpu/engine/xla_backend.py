@@ -21,8 +21,9 @@ class XlaBackend:
         return jax.device_put(jnp.asarray(qprofile, jnp.int32))  # [A, Q]
 
     def dispatch_many(self, qprep, ddb, gap_open, gap_ext, mode,
-                      search_type, with_flags=False):
-        """ddb: DeviceDatabase (scores its [G, T, B] letter groups)."""
+                      search_type, with_flags=False, single_part=False):
+        """ddb: DeviceDatabase (scores its [G, T, B] letter groups).
+        single_part is a download-pipelining hint with no meaning here."""
         Q = qprep.shape[1]
         fn = build_score_fn(mode, search_type, Q, gap_open, gap_ext,
                             with_flags=with_flags)

@@ -133,16 +133,63 @@ class MultiHostSearch:
         order = np.lexsort((idx, shard, -scores))
         return order[valid[order]], scores, shard, idx
 
+    def _global_topk(self, query, mode, search_type, k):
+        """Global top-k records via per-host DEVICE top-k selection
+        (engine/ranked.py): each host downloads and all-gathers only k
+        records — O(P*k) DCN traffic instead of O(total_sequences).
+        Exact: each host's k records contain its local top-k, and the
+        global top-k is a subset of the union. Returns (score, shard,
+        index[, end_q, end_t]) tuples, identical on every host."""
+        if k <= 0:
+            return []
+        track_end = search_type != SEARCH_SCORE
+        cols = ["score", "end_q", "end_t"] if track_end else ["score"]
+        if self.ddb is None:
+            local = np.zeros((0, 1 + len(cols)), np.int32)
+        else:
+            out = search_database_arrays(
+                query, self.ddb, self.gap_open, self.gap_ext,
+                self._matrix_array, mode=mode, search_type=search_type,
+                engine=self.engine, top_k=k,
+            )
+            local = np.stack(
+                [out[c].astype(np.int32) for c in cols]
+                + [out["index"].astype(np.int32)], axis=1)
+        if self.process_count > 1:
+            table = allgather_records(local, k)
+        else:
+            table = np.full((1, k, local.shape[1]), SCORE_PAD, np.int32)
+            table[0, : len(local)] = local
+        P, M, W = table.shape
+        scores = table[:, :, 0].reshape(-1).astype(np.int64)
+        idx = table[:, :, W - 1].reshape(-1).astype(np.int64)
+        shard = np.repeat(np.arange(P, dtype=np.int64), M)
+        valid = idx >= 0  # padding rows carry SCORE_PAD in every column
+        order = np.lexsort((idx, shard, -scores))
+        order = order[valid[order]][:k]
+        flat = table.reshape(-1, W)
+        rows = []
+        for o in order.tolist():
+            base = (int(scores[o]), int(shard[o]), int(idx[o]))
+            if track_end:
+                base += (int(flat[o, 1]), int(flat[o, 2]))
+            rows.append(base)
+        return rows
+
     def ranked(self, query, mode: int = MODE_SW, top_k: int = 0,
                search_type: int = SEARCH_SCORE):
         """Globally-ranked records, identical on every host. Each row is
         (score, shard, index-in-shard) — plus (end_q, end_t) when
-        search_type tracks ends. Returns a list of tuples."""
+        search_type tracks ends. Returns a list of tuples.
+
+        top_k > 0 takes the device-ranked path: each host selects its k
+        best on device and only k records per host cross DCN; top_k == 0
+        (all records) gathers the full per-sequence tables as before."""
+        if top_k:
+            return self._global_topk(query, mode, search_type, top_k)
         sizes, table = self.search(query, mode=mode,
                                    search_type=search_type)
         order, scores, shard, idx = self._rank(table)
-        if top_k:
-            order = order[:top_k]
         ends = table.reshape(-1, table.shape[2])[order]
         rows = []
         for j, o in enumerate(order.tolist()):
@@ -181,16 +228,13 @@ class MultiHostSearch:
         from ..traceback import AlignmentError, align_pair_reverse_trick
 
         query = np.asarray(query, dtype=np.uint8)
-        sizes, table = self.search(query, mode=mode,
-                                   search_type=SEARCH_SCORE_END)
-        order, scores, shard, idx = self._rank(table)
-        order = order[:top_k]
-        flat = table.reshape(-1, 3)
+        # device-ranked winner selection: k records per host cross DCN
+        # instead of the full per-sequence table (see _global_topk)
+        rows = self._global_topk(query, mode, SEARCH_SCORE_END, top_k)
         winners = [
-            dict(score=int(scores[o]), shard=int(shard[o]),
-                 index=int(idx[o]), end_q=int(flat[o, 1]),
-                 end_t=int(flat[o, 2]))
-            for o in order.tolist()
+            dict(score=r[0], shard=r[1], index=r[2],
+                 end_q=r[3], end_t=r[4])
+            for r in rows
         ]
 
         # local alignment pass: only this host's winners

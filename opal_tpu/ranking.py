@@ -26,6 +26,15 @@ def top_k_results(results, k: int):
     return [(int(i), results[int(i)]) for i in order]
 
 
+def rank_rows(idx, cols, k):
+    """Host-side twin of the device top-k (engine/ranked.py): rank rows
+    whose DB indices are `idx` by (score desc, index asc), slice k.
+    Returns (ranked_idx, ranked_cols)."""
+    idx = np.asarray(idx)
+    order = np.lexsort((idx, -np.asarray(cols["score"], np.int64)))[:k]
+    return idx[order], {c: np.asarray(v)[order] for c, v in cols.items()}
+
+
 def merge_shard_scores(shard_scores, shard_sizes) -> np.ndarray:
     """Trim per-shard padded all-gather rows (1-D score vectors, or
     [max_local, k] record tables) to their true sizes and concatenate in

@@ -184,20 +184,33 @@ class Server:
             from .engine.search import alignment_pass
             from .result import SearchResult
 
+            # top_k > 0: ranked emission — the k winners (score + ends) are
+            # selected ON DEVICE and only k records are downloaded
+            # (engine/ranked.py); top_k == 0 keeps the full-table path.
             outs = search_database_multi_arrays(
                 qs, self.ddb, go, ge, self.sm.matrix, mode=mode,
                 search_type=SEARCH_SCORE_END, engine=self.engine,
+                top_k=top_k,
             )
             answers = []
             for q, out in zip(qs, outs):
-                order = [int(i) for i in rank_scores(out["score"], top_k)]
+                if top_k:
+                    order = [int(i) for i in out["index"]]
+                    rows = {int(out["index"][j]): (
+                        int(out["score"][j]), int(out["end_q"][j]),
+                        int(out["end_t"][j]))
+                        for j in range(len(out["index"]))}
+                else:
+                    order = [int(i)
+                             for i in rank_scores(out["score"], top_k)]
+                    rows = {i: (int(out["score"][i]), int(out["end_q"][i]),
+                                int(out["end_t"][i])) for i in order}
                 results = {}
                 for i in order:
                     r = SearchResult()
                     r.score_set = 1
-                    r.score = int(out["score"][i])
-                    r.end_location_query = int(out["end_q"][i])
-                    r.end_location_target = int(out["end_t"][i])
+                    r.score, r.end_location_query, \
+                        r.end_location_target = rows[i]
                     results[i] = r
                 alignment_pass(q, self.db, go, ge, self.sm.matrix, mode,
                                results, order)
@@ -216,15 +229,23 @@ class Server:
             outs = search_database_multi_arrays(
                 qs, self.ddb, go, ge, self.sm.matrix, mode=mode,
                 search_type=SEARCH_SCORE, engine=self.engine,
+                top_k=top_k,
             )
             answers = []
             for out in outs:
-                order = rank_scores(out["score"], top_k)
-                answers.append([
-                    [int(i), int(out["score"][i])]
-                    + ([self.names[int(i)]] if with_names else [])
-                    for i in order
-                ])
+                if top_k:
+                    answers.append([
+                        [int(i), int(s)]
+                        + ([self.names[int(i)]] if with_names else [])
+                        for i, s in zip(out["index"], out["score"])
+                    ])
+                else:
+                    order = rank_scores(out["score"], top_k)
+                    answers.append([
+                        [int(i), int(out["score"][i])]
+                        + ([self.names[int(i)]] if with_names else [])
+                        for i in order
+                    ])
         return answers
 
     def _respond(self, line: str) -> str:
