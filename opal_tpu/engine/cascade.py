@@ -19,10 +19,19 @@ pallas_kernels.py), so the cascade's *throughput* role disappears — but its
   * short SW (reference src/opal.cpp:363-371): overflow iff maxH saturates
     at 32767, i.e. some exact diagonal candidate >= 32767.
   * char/short NW/HW/OV (reference src/opal.cpp:801-814): the reference
-    flags minE/minF hitting the saturation floor or maxH the ceiling; the
-    analytic conditions used here are conservative (may flag slightly more,
-    never fewer), which only affects which stage "would have" computed a
-    sequence, never any output score.
+    flags minE/minF hitting the saturation floor or maxH the ceiling. The
+    analytic conditions here (exact min_e <= floor, min_f <= floor,
+    max_h >= ceiling) coincide with the saturated kernels EXACTLY, not
+    conservatively: saturated values equal exact values up to the first
+    saturation event, and that first event is itself a floor/ceiling hit
+    that fires the reference's per-column check. Differentially pinned
+    against the reference's actual char/short kernels (internal
+    ``calculated[]`` arrays via tools/ref_overflow_harness.cpp) in
+    tests/test_cascade_differential.py — zero set difference across
+    adversarial boundary configs, all 4 modes, both stage boundaries.
+    (The reference's *int* stage has its overflow check commented out,
+    src/opal.cpp:793-800, so precision 32 is by definition never
+    flagged — matching prec's 32 ceiling.)
 
 - ``search_database_char_sw`` mirrors ``opalSearchDatabaseCharSW``
   (reference: src/opal.cpp:1522-1546): char-precision SW score search that
