@@ -453,6 +453,30 @@ def alignment_pass(query, db_list, gap_open, gap_ext, matrix, mode,
     # (OPAL_TPU_TRACEBACK_WORKERS overrides; 0/1 = serial).
     import os as _os
 
+    # OPAL_TPU_DEVICE_FILL=1: run the batched banded fill on the TPU
+    # (engine/device_fill.py) and only walk/validate on host; lanes the
+    # device path skips or fails to validate fall through to the
+    # per-pair host path below, so outputs are identical either way.
+    device_done = {}
+    if (_os.environ.get("OPAL_TPU_DEVICE_FILL") == "1"
+            and len(todo_align) >= 2):
+        from .device_fill import align_winners_device
+
+        winners = [
+            (i, results[i].score, results[i].end_location_query,
+             results[i].end_location_target)
+            for i in todo_align
+        ]
+        device_done = align_winners_device(
+            query, db_list, gap_open, gap_ext, matrix, mode, winners)
+        for i, (sq, st, ops) in device_done.items():
+            r = results[i]
+            r.start_location_query = sq
+            r.start_location_target = st
+            r.alignment = ops
+            r.alignment_length = len(ops)
+        todo_align = [i for i in todo_align if i not in device_done]
+
     workers = _os.environ.get("OPAL_TPU_TRACEBACK_WORKERS")
     workers = (int(workers) if workers
                else min(_os.cpu_count() or 1, 16))
