@@ -66,21 +66,42 @@ BIGR = 1 << 24          # "no row found" marker in the end_q search
 # algebra; |score| and per-column chain offsets must fit int32.
 VALUE_BOUND = 1 << 28
 
+# f32 lane: ~2x int32 VPU throughput on TPU (CLAUDE.md measurement).
+# f32 arithmetic on integer-valued operands is EXACT while every
+# intermediate stays below 2^24 in magnitude; with the f32 sentinels
+# below (|NEG2_F| + ramp + penalties < 2^24) that holds whenever real
+# DP values and the F-chain ramp stay under 2^21, so groups within
+# F32_BOUND run the whole fill in f32 and larger ones keep int32.
+LSB_F = -(1 << 23)
+NEG2_F = -(1 << 23) - (1 << 21)
+F32_BOUND = 1 << 21
+
 
 @functools.lru_cache(maxsize=None)
-def _fill_walk_fn(mode: int, Qp: int, Tp: int, B: int, interpret: bool):
+def _fill_walk_fn(mode: int, Qp: int, Tp: int, B: int, interpret: bool,
+                  use_f32: bool = False):
     """Jitted batched fill + walk. Returns (score [B], rend_q [B],
     rend_t [B], ok [B], codes [steps, B] uint8) where codes holds
     op+1 per walk step in FORWARD alignment order (the walk of the
     reversed problem emits the original problem's ops front to back),
-    0 = no emission that step."""
+    0 = no emission that step.
+
+    use_f32 runs the DP state in f32 (~2x int32 VPU throughput); the
+    caller guarantees every value stays integer-exact (F32_BOUND)."""
     import jax
     import jax.numpy as jnp
+
+    dt = jnp.float32 if use_f32 else jnp.int32
+    Lsb = LSB_F if use_f32 else LSB
+    Neg2 = NEG2_F if use_f32 else NEG2
 
     steps = 2 * (Qp + Tp) + 8  # ops <= Qp+Tp+2; +1 field switch per op
 
     def fill(aq, at, qlen, tlen, bottom, top, limit, go, ge, matrix):
         # aq [Qp, B] int32 letters, at [Tp, B]; per-lane int32 params.
+        god = go.astype(dt)
+        ged = ge.astype(dt)
+        limd = limit.astype(dt)
         ridx = jnp.arange(Qp, dtype=jnp.int32)[:, None]      # [Qp, 1]
         qmask = ridx < qlen[None, :]                          # [Qp, B]
         prof = matrix[aq]                                     # [Qp, B, A]
@@ -101,13 +122,13 @@ def _fill_walk_fn(mode: int, Qp: int, Tp: int, B: int, interpret: bool):
                 & (ridx <= c + bottom[None, :])
             )
 
-            bnd_uH = -go - c * ge  # NW top boundary H(-1, c), scalar
-            ulH0 = jnp.where(c == 0, 0, bnd_uH + ge)
-            E = jnp.maximum(prevH - go, prevE - ge)
+            bnd_uH = -god - c.astype(dt) * ged  # NW boundary H(-1, c)
+            ulH0 = jnp.where(c == 0, jnp.zeros((), dt), bnd_uH + ged)
+            E = jnp.maximum(prevH - god, prevE - ged)
             ulH = jnp.concatenate(
-                [jnp.full((1, B), ulH0, jnp.int32), prevH[:-1]], axis=0)
+                [jnp.full((1, B), ulH0, dt), prevH[:-1]], axis=0)
             Hp = jnp.maximum(E, ulH + P)
-            Hp_m = jnp.where(in_band, Hp, LSB)
+            Hp_m = jnp.where(in_band, Hp, Lsb)
 
             # F chain (exact max-plus prefix rewrite, ge <= go). The
             # chain seeds uF = LSB exactly where find_alignment does: at
@@ -115,29 +136,29 @@ def _fill_walk_fn(mode: int, Qp: int, Tp: int, B: int, interpret: bool):
             # or the band edge when the band starts below row 0).
             above_out = jnp.concatenate(
                 [jnp.ones((1, B), bool), ~in_band[:-1]], axis=0)
-            seed = jnp.where(in_band & above_out, LSB - ge, NEG2)
+            seed = jnp.where(in_band & above_out, Lsb - ged, Neg2)
             c_top = jnp.where(
                 jnp.arange(Qp)[:, None] == 0,
-                bnd_uH - go,
+                bnd_uH - god,
                 jnp.concatenate(
-                    [jnp.full((1, B), NEG2, jnp.int32), Hp_m[:-1] - go],
+                    [jnp.full((1, B), Neg2, dt), Hp_m[:-1] - god],
                     axis=0),
             )
-            C = jnp.where(in_band, jnp.maximum(c_top, seed), NEG2)
-            rg = ridx * ge
+            C = jnp.where(in_band, jnp.maximum(c_top, seed), Neg2)
+            rg = (ridx * ge).astype(dt)
             F = jax.lax.cummax(C + rg, axis=0) - rg
             Hcol = jnp.maximum(Hp, F)
 
-            H_m = jnp.where(in_band, Hcol, LSB)
-            E_m = jnp.where(in_band, E, LSB)
-            F_m = jnp.where(in_band, F, LSB)
+            H_m = jnp.where(in_band, Hcol, Lsb)
+            E_m = jnp.where(in_band, E, Lsb)
+            F_m = jnp.where(in_band, F, Lsb)
             uh = jnp.concatenate(
-                [jnp.full((1, B), LSB, jnp.int32), H_m[:-1]], axis=0)
+                [jnp.full((1, B), Lsb, dt), H_m[:-1]], axis=0)
             bits = (
                 (H_m == E_m).astype(jnp.uint8)
                 | ((H_m == F_m).astype(jnp.uint8) << 1)
-                | ((E_m == prevH - go).astype(jnp.uint8) << 2)
-                | ((F_m == uh - go).astype(jnp.uint8) << 3)
+                | ((E_m == prevH - god).astype(jnp.uint8) << 2)
+                | ((F_m == uh - god).astype(jnp.uint8) << 3)
             )
 
             # trackers: find_alignment's loop guard is
@@ -146,13 +167,13 @@ def _fill_walk_fn(mode: int, Qp: int, Tp: int, B: int, interpret: bool):
             if mode == MODE_NW:
                 active = col_live
             else:
-                active = col_live & (m < limit)
+                active = col_live & (m < limd)
             re = jnp.clip(jnp.minimum(qlen - 1, c + bottom), 0, Qp - 1)
             empty = (c - top > jnp.minimum(qlen - 1, c + bottom)) | ~col_live
             gath = jnp.take_along_axis(H_m, re[None, :], axis=0)[0]
             h_last_new = jnp.where(active & ~empty, gath, h_last)
 
-            colmax = jnp.max(jnp.where(in_band, Hcol, NEG2), axis=0)
+            colmax = jnp.max(jnp.where(in_band, Hcol, Neg2), axis=0)
             if mode == MODE_SW:
                 cand = colmax
                 upd = active & ~empty
@@ -162,10 +183,10 @@ def _fill_walk_fn(mode: int, Qp: int, Tp: int, B: int, interpret: bool):
             elif mode == MODE_OV:
                 cand = jnp.maximum(
                     h_last_new,
-                    jnp.where((c == tlen - 1) & ~empty, colmax, NEG2))
+                    jnp.where((c == tlen - 1) & ~empty, colmax, Neg2))
                 upd = active
             else:  # NW: no early stop, score read from h_last at the end
-                cand = NEG2
+                cand = jnp.full((), Neg2, dt)
                 upd = jnp.zeros((B,), bool)
             m_new = jnp.where(upd, jnp.maximum(m, cand), m)
 
@@ -178,24 +199,25 @@ def _fill_walk_fn(mode: int, Qp: int, Tp: int, B: int, interpret: bool):
             endq_new = jnp.where(active, first, endq)
             last_new = jnp.where(active, c, last_col)
 
-            return (jnp.where(in_band, Hcol, LSB), E_m, m_new,
+            return (jnp.where(in_band, Hcol, Lsb), E_m, m_new,
                     last_new, endq_new, h_last_new), bits
 
         prevH0 = jnp.where(
-            qmask, -go - ridx * ge * jnp.ones((1, B), jnp.int32), LSB)
-        prevE0 = jnp.full((Qp, B), LSB, jnp.int32)
+            qmask, -god - (ridx * ge).astype(dt) * jnp.ones((1, B), dt),
+            Lsb)
+        prevE0 = jnp.full((Qp, B), Lsb, dt)
         init = (
-            prevH0.astype(jnp.int32),
+            prevH0.astype(dt),
             prevE0,
-            jnp.full((B,), NEG2, jnp.int32),   # running max
+            jnp.full((B,), Neg2, dt),          # running max
             jnp.zeros((B,), jnp.int32),        # last executed column
             jnp.full((B,), BIGR, jnp.int32),   # end_q candidate
-            jnp.full((B,), LSB, jnp.int32),    # H_last
+            jnp.full((B,), Lsb, dt),           # H_last
         )
         (_, _, m, last_col, endq, h_last), dirs = jax.lax.scan(
             col, init, jnp.arange(Tp, dtype=jnp.int32))
         score = h_last if mode == MODE_NW else m
-        return dirs, score, last_col, endq
+        return dirs, score.astype(jnp.int32), last_col, endq
 
     def walk(dirs, aq, at, r0, c0):
         # Lockstep backtrace over the device-resident decision bits,
@@ -309,14 +331,17 @@ def align_winners_device(query, db_list, gap_open, gap_ext, matrix,
             continue
         if not (0 <= bottom < len(aq) and 0 <= top < len(at)):
             continue
-        if abs(int(score)) >= VALUE_BOUND or (
-                (len(aq) + len(at)) * (abs(M) + Go + Ge) >= VALUE_BOUND):
+        vb = abs(int(score)) + (len(aq) + len(at)) * (abs(M) + Go + Ge)
+        if vb >= VALUE_BOUND:
             continue
-        jobs.append((i, int(score), aq, at, bottom, top))
+        jobs.append((i, int(score), aq, at, bottom, top, vb))
     if not jobs:
         return {}
 
-    mat_dev = None
+    import os as _os
+
+    f32_env = _os.environ.get("OPAL_TPU_DEVICE_FILL_F32")
+    mat_dev = {}
     out = {}
     # bucket by padded shape to bound compile count and padding waste
     jobs.sort(key=lambda j: (len(j[2]), len(j[3])))
@@ -332,28 +357,33 @@ def align_winners_device(query, db_list, gap_open, gap_ext, matrix,
         bot = np.zeros(B, np.int32)
         top_ = np.zeros(B, np.int32)
         lim = np.zeros(B, np.int32)
-        for k, (i, score, aq, at, b, t) in enumerate(group):
+        for k, (i, score, aq, at, b, t, _vb) in enumerate(group):
             aqs[: len(aq), k] = aq
             ats[: len(at), k] = at
             qlen[k], tlen[k] = len(aq), len(at)
             bot[k], top_[k], lim[k] = b, t, score
 
+        use_f32 = max(j[6] for j in group) < F32_BOUND
+        if f32_env in ("0", "1"):
+            use_f32 = use_f32 and f32_env == "1"
+
         import jax.numpy as jnp
 
-        if mat_dev is None:
-            mat_dev = jnp.asarray(m, jnp.int32)
-        fn = _fill_walk_fn(mode, Qp, Tp, B, interpret)
+        dtt = jnp.float32 if use_f32 else jnp.int32
+        if dtt not in mat_dev:
+            mat_dev[dtt] = jnp.asarray(m, dtt)
+        fn = _fill_walk_fn(mode, Qp, Tp, B, interpret, use_f32)
         score_d, rend_q, rend_t, ok, codes = fn(
             jnp.asarray(aqs), jnp.asarray(ats), jnp.asarray(qlen),
             jnp.asarray(tlen), jnp.asarray(bot), jnp.asarray(top_),
-            jnp.asarray(lim), jnp.int32(Go), jnp.int32(Ge), mat_dev)
+            jnp.asarray(lim), jnp.int32(Go), jnp.int32(Ge), mat_dev[dtt])
         # O(path) download: [steps, B] op codes + per-lane scalars
         codes = np.asarray(codes)
         rend_q = np.asarray(rend_q)
         rend_t = np.asarray(rend_t)
         ok = np.asarray(ok)
 
-        for k, (i, score, aq, at, b, t) in enumerate(group):
+        for k, (i, score, aq, at, b, t, _vb) in enumerate(group):
             if not ok[k]:
                 continue
             sq = len(aq) - int(rend_q[k]) - 1

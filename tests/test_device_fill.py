@@ -97,7 +97,8 @@ def test_device_fill_gap_param_sweep(setup):
             np.testing.assert_array_equal(got[i][2], want[2])
 
 
-def test_alignment_pass_env_knob(setup, monkeypatch):
+@pytest.mark.parametrize("mode", [MODE_SW, MODE_NW, MODE_HW, MODE_OV])
+def test_alignment_pass_env_knob(setup, monkeypatch, mode):
     """OPAL_TPU_DEVICE_FILL=1 routes alignment_pass through the device
     fill; whole search_database outputs must be identical to the host
     path, field by field."""
@@ -108,7 +109,7 @@ def test_alignment_pass_env_knob(setup, monkeypatch):
     eng = Engine(backend="xla", block_size=128)
 
     def run():
-        return search_database(q, db, 3, 1, sm.matrix, mode=MODE_SW,
+        return search_database(q, db, 3, 1, sm.matrix, mode=mode,
                                search_type=SEARCH_ALIGNMENT, engine=eng)
 
     monkeypatch.delenv("OPAL_TPU_DEVICE_FILL", raising=False)
@@ -125,6 +126,24 @@ def test_alignment_pass_env_knob(setup, monkeypatch):
             assert b.alignment is None
         else:
             np.testing.assert_array_equal(a.alignment, b.alignment)
+
+
+def test_device_fill_f32_matches_int32(setup, monkeypatch):
+    """The f32 DP lane (2x VPU) must be bit-identical to int32 within
+    its exactness gate (F32_BOUND)."""
+    sm, q, db = setup
+    eng = Engine(backend="xla", block_size=128)
+    winners = _winners(q, db, sm, MODE_SW, eng)
+    monkeypatch.setenv("OPAL_TPU_DEVICE_FILL_F32", "1")
+    a = align_winners_device(q, db, 3, 1, sm.matrix, MODE_SW, winners,
+                             lanes=64)
+    monkeypatch.setenv("OPAL_TPU_DEVICE_FILL_F32", "0")
+    b = align_winners_device(q, db, 3, 1, sm.matrix, MODE_SW, winners,
+                             lanes=64)
+    assert set(a) == set(b) and len(a) >= 0.9 * len(winners)
+    for i in a:
+        assert a[i][:2] == b[i][:2]
+        np.testing.assert_array_equal(a[i][2], b[i][2])
 
 
 def test_device_fill_rejects_ge_gt_go(setup):

@@ -43,6 +43,8 @@ def main():
                     help="diff panel outputs against the XLA twin")
     ap.add_argument("--no-xla", action="store_true",
                     help="skip the XLA twin timing lane")
+    ap.add_argument("--only", default="",
+                    help="comma list of lanes to run (panel/legacy/xla)")
     args = ap.parse_args()
 
     from opal_tpu.constants import MODE_CODES
@@ -66,6 +68,8 @@ def main():
             ("legacy", {"OPAL_TPU_NO_PANELS": "1"}, "pallas"),
             ("xla", {}, "xla"),
         ):
+            if args.only and label not in args.only.split(","):
+                continue
             if label == "xla" and ((qlen > 40000 and not args.check)
                                    or args.no_xla):
                 continue  # too slow to time repeatedly
