@@ -23,9 +23,11 @@ Selection is exact and avoids any host round trip mid-flight:
 The superset property composes across stream parts and mesh shards by
 plain union: each part/shard contributes candidates covering its own
 exact top-k, so the global sort of all candidates yields the exact
-global top-k. int32-exact for any score range and any database size
-(no packed float keys — a 2^31-sequence database would still rank
-correctly).
+global top-k. Exact for ANY int32 score range (no packed float keys, so
+score and index never share a word); DB indices are int32 throughout
+(here and in the multihost gather record, where they are shard-local),
+bounding a single host's shard at 2^31 sequences — far beyond what fits
+a host, and cross-host scale is unbounded via sharding.
 """
 from __future__ import annotations
 
@@ -230,6 +232,11 @@ def topk_from_handle(handle, ddb, mode, search_type, q, k):
     caller then ranks the full host download instead."""
     kind, payload = handle
     track_end = search_type != SEARCH_SCORE
+    # q reaches the jit only through NW/HW end synthesis; key the fn
+    # cache on 0 otherwise so SW/OV serving does not re-trace (and
+    # re-compile) per distinct query length.
+    if not (track_end and mode in (MODE_NW, MODE_HW)):
+        q = 0
     if kind == "ragged":
         if payload is None:
             return merge_candidates([], k, track_end)

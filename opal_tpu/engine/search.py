@@ -242,6 +242,24 @@ class Engine:
         return idx, cols
 
 
+def _finish_cols(out, mode, search_type, n=0):
+    """Normalize a result-column dict in place: an empty database yields
+    no blocks, hence no columns, so synthesize the expected (empty)
+    arrays; then apply the reference's SW zero-score end masking (end
+    locations report -1, src/opal_aligner.cpp semantics)."""
+    if "score" not in out:
+        out["score"] = np.zeros(n, np.int32)
+    if search_type != SEARCH_SCORE:
+        for k in ("end_q", "end_t"):
+            if k not in out:
+                out[k] = np.zeros(n, np.int32)
+        if mode == MODE_SW:
+            zero = out["score"] == 0
+            out["end_q"] = np.where(zero, -1, out["end_q"])
+            out["end_t"] = np.where(zero, -1, out["end_t"])
+    return out
+
+
 def search_database_arrays(
     query,
     db,
@@ -274,11 +292,7 @@ def search_database_arrays(
             top_k=top_k,
         )
         out = {"index": idx, **cols}
-        if search_type != SEARCH_SCORE and mode == MODE_SW:
-            zero = out["score"] == 0
-            out["end_q"] = np.where(zero, -1, out["end_q"])
-            out["end_t"] = np.where(zero, -1, out["end_t"])
-        return out
+        return _finish_cols(out, mode, search_type)
     idx, cols = engine.score_blocks(
         query, db, gap_open, gap_ext, matrix, mode, search_type
     )
@@ -287,11 +301,7 @@ def search_database_arrays(
         arr = np.empty(n, dtype=v.dtype)
         arr[idx] = v
         out[k] = arr
-    if search_type != SEARCH_SCORE and mode == MODE_SW:
-        zero = out["score"] == 0
-        out["end_q"] = np.where(zero, -1, out["end_q"])
-        out["end_t"] = np.where(zero, -1, out["end_t"])
-    return out
+    return _finish_cols(out, mode, search_type, n=n)
 
 
 def search_database_multi_arrays(
@@ -376,12 +386,8 @@ def search_database_multi_arrays(
                 ranked = topk_from_multi_handle(handle, ddb, top_k)
             if ranked is not None:
                 for s in range(len(group)):
-                    r = ranked[s]
-                    if search_type != SEARCH_SCORE and mode == MODE_SW:
-                        zero = r["score"] == 0
-                        r["end_q"] = np.where(zero, -1, r["end_q"])
-                        r["end_t"] = np.where(zero, -1, r["end_t"])
-                    out[perm[i + s]] = r
+                    out[perm[i + s]] = _finish_cols(
+                        ranked[s], mode, search_type)
                 i += len(group)
                 continue
             per_query = backend.collect_multi(handle, ddb)
@@ -392,10 +398,7 @@ def search_database_multi_arrays(
                         arr = cols.setdefault(
                             k, np.empty(ddb.n, dtype=np.int32))
                         arr[blk.indices] = v
-                if search_type != SEARCH_SCORE and mode == MODE_SW:
-                    zero = cols["score"] == 0
-                    cols["end_q"] = np.where(zero, -1, cols["end_q"])
-                    cols["end_t"] = np.where(zero, -1, cols["end_t"])
+                _finish_cols(cols, mode, search_type, n=ddb.n)
                 if top_k:
                     from ..ranking import rank_rows
 

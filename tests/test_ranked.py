@@ -163,3 +163,28 @@ def test_topk_empty_db():
         np.zeros(8, np.uint8), [], 3, 1, sm.matrix, mode=MODE_SW,
         search_type=SEARCH_SCORE, engine=eng, top_k=5)
     assert len(ranked["index"]) == 0 and len(ranked["score"]) == 0
+
+
+def test_empty_db_score_end_all_paths():
+    """An empty database must return the expected (empty) columns on
+    every path — score+end and SW zero masking included (regression:
+    the masking block KeyError'd when no blocks produced columns)."""
+    from opal_tpu.constants import SEARCH_SCORE_END
+    from opal_tpu.engine.search import search_database_multi_arrays
+
+    sm = ScoreMatrix.blosum50()
+    q = np.zeros(8, np.uint8)
+    for backend in ("xla", "pallas-interpret"):
+        eng = Engine(backend=backend, block_size=128)
+        for topk in (0, 5):
+            out = search_database_arrays(
+                q, [], 3, 1, sm.matrix, mode=MODE_SW,
+                search_type=SEARCH_SCORE_END, engine=eng, top_k=topk)
+            for c in ("score", "end_q", "end_t"):
+                assert len(out[c]) == 0, (backend, topk, c)
+            if topk:
+                assert len(out["index"]) == 0
+        multi = search_database_multi_arrays(
+            [q, q], [], 3, 1, sm.matrix, mode=MODE_SW,
+            search_type=SEARCH_SCORE_END, engine=eng)
+        assert all(len(m["score"]) == 0 for m in multi)
