@@ -37,8 +37,12 @@ with the same boundary the banded loop uses. The walk takes the
 identical branch at every cell (same tie order, same manual border
 indels, src/opal.cpp:1400-1409); every reconstructed path is
 replay-validated, and any lane that fails validation (or has no
-closed-form band) falls back to the per-pair host path, so outputs are
-always exactly align_pair_reverse_trick's.
+closed-form band) falls back to the per-pair host path. Replay
+validation pins (score, start, end, path validity); the branch-order
+argument above is what pins the path ITSELF to the host one, and
+``OPAL_TPU_DEVICE_FILL_CHECK=1`` audits that claim at runtime by
+recomputing every device-filled lane on the host path and demanding
+bit-identity (mismatches warn and fall back to host).
 """
 from __future__ import annotations
 
@@ -339,14 +343,19 @@ def align_winners_device(query, db_list, gap_open, gap_ext, matrix,
         return {}
 
     import os as _os
+    import time as _time
 
     f32_env = _os.environ.get("OPAL_TPU_DEVICE_FILL_F32")
+    stats = _os.environ.get("OPAL_TPU_DEVICE_FILL_STATS") == "1"
+    t_pack = t_dev = t_replay = 0.0
+    groups = []
     mat_dev = {}
     out = {}
     # bucket by padded shape to bound compile count and padding waste
     jobs.sort(key=lambda j: (len(j[2]), len(j[3])))
     for g0 in range(0, len(jobs), lanes):
         group = jobs[g0 : g0 + lanes]
+        t0 = _time.perf_counter()
         B = len(group)
         Qp = _round_up(max(len(j[2]) for j in group), 64)
         Tp = _round_up(max(len(j[3]) for j in group), 64)
@@ -373,6 +382,7 @@ def align_winners_device(query, db_list, gap_open, gap_ext, matrix,
         if dtt not in mat_dev:
             mat_dev[dtt] = jnp.asarray(m, dtt)
         fn = _fill_walk_fn(mode, Qp, Tp, B, interpret, use_f32)
+        t1 = _time.perf_counter()
         score_d, rend_q, rend_t, ok, codes = fn(
             jnp.asarray(aqs), jnp.asarray(ats), jnp.asarray(qlen),
             jnp.asarray(tlen), jnp.asarray(bot), jnp.asarray(top_),
@@ -382,6 +392,10 @@ def align_winners_device(query, db_list, gap_open, gap_ext, matrix,
         rend_q = np.asarray(rend_q)
         rend_t = np.asarray(rend_t)
         ok = np.asarray(ok)
+        t2 = _time.perf_counter()
+        t_pack += t1 - t0
+        t_dev += t2 - t1
+        groups.append((B, Qp, Tp))
 
         for k, (i, score, aq, at, b, t, _vb) in enumerate(group):
             if not ok[k]:
@@ -398,4 +412,14 @@ def align_winners_device(query, db_list, gap_open, gap_ext, matrix,
                                     sq, st, ops, Go, Ge, m)
             if got == score and (req, ret) == (eq, et):
                 out[i] = (sq, st, ops)
+        if stats:
+            t_replay += _time.perf_counter() - t2
+    if stats:
+        import sys as _sys
+
+        cells = sum(b * q * t for b, q, t in groups)
+        print(f"[device_fill] groups={len(groups)} "
+              f"shapes={groups} padded_cells={cells/1e6:.1f}M "
+              f"pack={t_pack*1e3:.0f}ms dev={t_dev*1e3:.0f}ms "
+              f"replay={t_replay*1e3:.0f}ms", file=_sys.stderr, flush=True)
     return out

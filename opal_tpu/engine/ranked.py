@@ -38,6 +38,12 @@ import numpy as np
 from ..constants import MODE_HW, MODE_NW, MODE_OV, MODE_SW, SEARCH_SCORE
 from . import pallas_kernels as pk
 
+# Doubles as the invalid-lane sentinel AND the top_k padding key: a valid
+# lane scoring exactly I32_MIN would be indistinguishable from padding and
+# silently dropped. Unreachable by construction — every engine mode scores
+# in f32-exact integer range (|score| < 2^24, see pallas_kernels.py), and
+# int32 emission clamps far above this — but the assumption is asserted in
+# the host merge (finalize) under OPAL_TPU_DEBUG=1.
 I32_MIN = -(2**31)
 
 
@@ -204,9 +210,16 @@ def merge_candidates(parts, k, track_end):
     parts: list of [n_cols, 2k] int arrays, rows (db, score, valid
     [, end_q, end_t])."""
     dbs, scores, eqs, ets = [], [], [], []
+    import os
+
+    debug = os.environ.get("OPAL_TPU_DEBUG") == "1"
     for p in parts:
         p = np.asarray(p)
         ok = p[2] != 0
+        if debug:
+            # audit the I32_MIN sentinel assumption (see its definition)
+            assert not np.any(p[1][ok] == I32_MIN), \
+                "valid candidate scored I32_MIN — sentinel collision"
         dbs.append(p[0][ok])
         scores.append(p[1][ok])
         if track_end:

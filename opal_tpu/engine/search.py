@@ -19,6 +19,7 @@ blocks (engine/batching.py) and each block is scored on the accelerator
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import Optional, Sequence
 
@@ -58,6 +59,12 @@ def _db_fingerprint(db) -> bytes:
     return h.digest()
 
 
+# Resident DeviceDatabases kept per Engine (LRU). 4 covers the realistic
+# "a few DBs alternating through the convenience API" shape without letting
+# device buffers accumulate unboundedly.
+_RESIDENT_LRU_SIZE = 4
+
+
 @dataclasses.dataclass
 class EngineConfig:
     backend: str = "auto"     # "auto" | "xla" | "pallas" | "pallas-interpret"
@@ -78,7 +85,11 @@ class Engine:
     def __init__(self, config: Optional[EngineConfig] = None, **kw):
         self.config = config or EngineConfig(**kw)
         self._backend = None
-        self._resident_cache: dict = {}
+        # Bounded LRU of resident DeviceDatabases (most-recent last):
+        # callers alternating between a few DBs through the convenience
+        # APIs must not re-upload on every call.
+        self._resident_cache: "collections.OrderedDict" = (
+            collections.OrderedDict())
         self.last_search_stats: Optional[dict] = None
 
     def _resolve_backend(self):
@@ -128,7 +139,13 @@ class Engine:
         cached = self._resident_cache.get(key)
         if cached is None:
             cached = {}
-            self._resident_cache = {key: cached}  # keep one DB resident
+            self._resident_cache[key] = cached
+            # Bounded LRU: keep the 4 most recent DBs resident (each entry
+            # also pins its backing list, so id() reuse cannot alias).
+            while len(self._resident_cache) > _RESIDENT_LRU_SIZE:
+                self._resident_cache.popitem(last=False)
+        else:
+            self._resident_cache.move_to_end(key)
         if B not in cached:
             cached[B] = DeviceDatabase(db, B, mesh=self.config.mesh)
         return cached[B]
@@ -472,6 +489,26 @@ def alignment_pass(query, db_list, gap_open, gap_ext, matrix, mode,
         ]
         device_done = align_winners_device(
             query, db_list, gap_open, gap_ext, matrix, mode, winners)
+        if _os.environ.get("OPAL_TPU_DEVICE_FILL_CHECK") == "1":
+            # Audit mode: recompute every device-filled lane on the host
+            # path and demand bit-identity (start, path ops). Replay
+            # validation alone pins (score, ends, path validity) — under
+            # an exotic tie pattern a valid-but-non-canonical path could
+            # pass it, so this keeps the "identical either way" claim
+            # checkable at will. Mismatching lanes fall back to host.
+            import warnings as _warnings
+
+            for i in list(device_done):
+                _, host_out, exc = _align_one(i)
+                if exc is not None or (
+                        host_out[0] != device_done[i][0]
+                        or host_out[1] != device_done[i][1]
+                        or not np.array_equal(host_out[2],
+                                              device_done[i][2])):
+                    _warnings.warn(
+                        f"device fill lane {i} differs from host path; "
+                        f"using host result", RuntimeWarning, stacklevel=2)
+                    del device_done[i]
         for i, (sq, st, ops) in device_done.items():
             r = results[i]
             r.start_location_query = sq

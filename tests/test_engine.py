@@ -262,3 +262,47 @@ def test_resident_cache_detects_inplace_mutation():
     third = search_database(query, db2, 3, 1, matrix, engine=eng)
     want2 = search_oracle(query, db2, 3, 1, matrix, MODE_SW, SEARCH_SCORE)
     assert [r.score for r in third] == [w.score for w in want2]
+
+
+def test_resident_cache_lru_multi_db(monkeypatch):
+    """Alternating between a few DBs through the convenience API must NOT
+    re-upload on every call: the resident cache is a bounded LRU (size 4),
+    not a single slot."""
+    from opal_tpu.engine import device_db as ddb_mod
+    from opal_tpu.engine import search as search_mod
+
+    rng = np.random.default_rng(88)
+    query, dbA, matrix = random_problem(
+        rng, n_seqs=6, query_len=24, min_len=10, max_len=40
+    )
+    dbB = [d.copy() for d in dbA]
+    dbB[0][:] = (dbB[0] + 1) % matrix.shape[0]
+
+    uploads = []
+    real_init = ddb_mod.DeviceDatabase.__init__
+
+    def counting_init(self, db, *a, **kw):
+        uploads.append(len(db))
+        return real_init(self, db, *a, **kw)
+
+    monkeypatch.setattr(ddb_mod.DeviceDatabase, "__init__", counting_init)
+    eng = Engine(backend="xla", block_size=4)
+    for _ in range(3):  # alternate A/B three times
+        ra = search_database(query, dbA, 3, 1, matrix, engine=eng)
+        rb = search_database(query, dbB, 3, 1, matrix, engine=eng)
+    assert len(uploads) == 2, f"expected 2 uploads, saw {len(uploads)}"
+    wa = search_oracle(query, dbA, 3, 1, matrix, MODE_SW, SEARCH_SCORE)
+    wb = search_oracle(query, dbB, 3, 1, matrix, MODE_SW, SEARCH_SCORE)
+    assert [r.score for r in ra] == [w.score for w in wa]
+    assert [r.score for r in rb] == [w.score for w in wb]
+    # eviction: pushing >4 distinct DBs drops the oldest, keeps the cache
+    # bounded, and a re-search of an evicted DB still returns right answers
+    dbs = []
+    for k in range(5):
+        dbk = [d.copy() for d in dbA]
+        dbk[1][:] = (dbk[1] + k + 2) % matrix.shape[0]
+        dbs.append(dbk)
+        search_database(query, dbk, 3, 1, matrix, engine=eng)
+    assert len(eng._resident_cache) == search_mod._RESIDENT_LRU_SIZE
+    again = search_database(query, dbA, 3, 1, matrix, engine=eng)  # evicted
+    assert [r.score for r in again] == [w.score for w in wa]

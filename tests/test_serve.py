@@ -170,6 +170,90 @@ def test_serve_tcp(server):
     assert "error" in err
 
 
+def test_serve_tcp_fuzz_malformed_and_oversized(server):
+    """Network-surface fuzz: hostile bytes must produce structured errors
+    (or, above the 16 MiB line cap, a RequestTooLarge + connection drop)
+    and must never kill the server — the next clean connection still
+    serves."""
+    import socket
+    import threading
+
+    srv, sm, rng = server
+    started = threading.Event()
+    port_box = {}
+
+    def run_srv():
+        import socketserver
+        from unittest.mock import patch
+
+        real_init = socketserver.TCPServer.__init__
+
+        def catch_port(self, *a, **kw):
+            real_init(self, *a, **kw)
+            port_box["port"] = self.server_address[1]
+            started.set()
+
+        with patch.object(socketserver.TCPServer, "__init__", catch_port):
+            try:
+                srv.serve_tcp(0)
+            except Exception:
+                pass
+
+    threading.Thread(target=run_srv, daemon=True).start()
+    assert started.wait(10)
+
+    def connect():
+        c = socket.create_connection(("127.0.0.1", port_box["port"]),
+                                     timeout=30)
+        f = c.makefile("rwb")
+        assert json.loads(f.readline())["ready"]
+        return c, f
+
+    # 1) malformed payloads on one connection: each gets an error object,
+    # the connection survives all of them
+    c, f = connect()
+    hostile = [
+        b"this is not json\n",
+        b"\xff\xfe\x00garbage\x80binary\n",
+        b"[1, 2, 3]\n",                       # valid JSON, wrong shape
+        b'{"query": 42}\n',                    # wrong type
+        b'{"id": 9, "query": "ACDE", "top_k": -5}\n',
+        b'{"id": 10, "query": "ACDE", "mode": "XX"}\n',
+        b'{"id": 11, "queries": []}\n',
+        b'{"unterminated": \n',
+    ]
+    for payload in hostile:
+        f.write(payload)
+        f.flush()
+        resp = json.loads(f.readline())
+        assert "error" in resp or resp.get("hits") is not None, resp
+    # connection still usable for a real query
+    alpha = sm.alphabet
+    q = "".join(alpha[j] for j in rng.integers(0, 20, size=30))
+    f.write((json.dumps({"id": 1, "query": q, "top_k": 2}) + "\n").encode())
+    f.flush()
+    ok = json.loads(f.readline())
+    assert ok["id"] == 1 and len(ok["hits"]) == 2
+    c.close()
+
+    # 2) oversized line (> 16 MiB): structured RequestTooLarge, then drop
+    c, f = connect()
+    f.write(b'{"id": 2, "query": "' + b"A" * (17 * 1024 * 1024) + b'"}\n')
+    f.flush()
+    resp = json.loads(f.readline())
+    assert "RequestTooLarge" in resp.get("error", "")
+    assert f.readline() == b""  # server closed the poisoned stream
+    c.close()
+
+    # 3) fresh connection after the drop serves normally
+    c, f = connect()
+    f.write((json.dumps({"id": 3, "query": q, "top_k": 2}) + "\n").encode())
+    f.flush()
+    again = json.loads(f.readline())
+    assert again["hits"] == ok["hits"]
+    c.close()
+
+
 def test_serve_warm_covers_single_and_stacked(server):
     """warm() must compile both the per-length single-query kernels and
     the stacked multi-query kernels for the given length combination

@@ -1,0 +1,172 @@
+#!/usr/bin/env python3
+"""Live full-scale parity: the opal_tpu CLI vs the reference binary at the
+reference's own headline protocol scale.
+
+The reference's perf protocol (reference: aligner_comparison.md:10-25)
+searches 4 UniProt queries against full UniProtKB/Swiss-Prot — 541,762
+sequences, ~1.93e8 residues. That DB blob is absent from the snapshot
+(/root/reference/.MISSING_LARGE_BLOBS), so this runs both engines on the
+synthetic Swiss-Prot stand-in at the SAME sequence count and diffs their
+ENTIRE stdout (headers, progress, every result line, alignments), with only
+the timing values normalized — the strongest correctness statement available
+without the original data.
+
+Stages (all live, reference binary built on the fly from /root/reference/src):
+  - x0 (score) and x1 (score+end), all 4 modes, at 541,762 sequences
+  - x2 (full alignment) on a bounded slice (--x2-seqs, default 15,000 —
+    the reference's align-all at 541k is hours) for SW and NW
+
+Prints one JSON line per config; exit 0 iff every diff matches.
+
+Usage: full_scale_parity.py [--query O74807] [--n-seqs 541762]
+                            [--x2-seqs 15000] [--modes SW,NW,HW,OV]
+"""
+import argparse
+import hashlib
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from compare_vs_reference import build_reference, normalize_full  # noqa: E402
+from make_synth_db import make_db_arrays  # noqa: E402
+
+QUERY_DIR = "/root/reference/test_data/query"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def ensure_db(path: str, n_seqs: int) -> int:
+    """Write the synthetic DB FASTA (cached on disk); returns residue count."""
+    meta = path + ".meta"
+    if os.path.exists(path) and os.path.exists(meta):
+        with open(meta) as f:
+            saved = json.load(f)
+        if saved.get("n_seqs") == n_seqs and saved.get("size") == os.path.getsize(path):
+            return saved["residues"]
+    arrays = make_db_arrays(n_seqs, seed=12071)
+    residues = int(sum(len(a) for a in arrays))
+    with open(path, "wb", buffering=1 << 22) as f:
+        for i, a in enumerate(arrays):
+            f.write(b">synth|%06d synthetic sequence len=%d\n" % (i, len(a)))
+            b = a.tobytes()
+            f.write(b"\n".join(b[j:j + 60] for j in range(0, len(b), 60)))
+            f.write(b"\n")
+    with open(meta, "w") as f:
+        json.dump({"n_seqs": n_seqs, "residues": residues,
+                   "size": os.path.getsize(path)}, f)
+    return residues
+
+
+def slice_fasta(src: str, dst: str, n_seqs: int) -> None:
+    """Copy the first n_seqs records of a FASTA file."""
+    seen = 0
+    with open(src, "rb") as fi, open(dst, "wb") as fo:
+        for line in fi:
+            if line.startswith(b">"):
+                seen += 1
+                if seen > n_seqs:
+                    break
+            fo.write(line)
+
+
+def run_pair(exe, query, db, mode, level, *, gap_open="3", gap_ext="1",
+             timeout=3600):
+    flags = ["-a", mode, "-x", str(level), "-o", gap_open, "-e", gap_ext]
+    t0 = time.perf_counter()
+    ref = subprocess.run([exe, *flags, query, db], capture_output=True,
+                         text=True, timeout=timeout)
+    ref_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mine = subprocess.run(
+        [sys.executable, "-m", "opal_tpu.cli", *flags, query, db],
+        capture_output=True, text=True, cwd=REPO, timeout=timeout)
+    my_wall = time.perf_counter() - t0
+    if ref.returncode != 0:
+        # The reference binary CAN die on its own protocol (observed: SIGSEGV
+        # in the alignment pass, P18080 -a NW -x 2 on a 15k-seq slice — its
+        # latent traceback flaw; this engine handles the same input). Record
+        # the crash as a row rather than aborting the suite.
+        return {
+            "match": None, "reference_crash": True,
+            "ref_returncode": ref.returncode,
+            "ref_stderr_tail": ref.stderr[-200:],
+            "tpu_ok": mine.returncode == 0,
+            "tpu_lines": len(normalize_full(mine.stdout)),
+        }
+    if mine.returncode != 0:
+        raise RuntimeError(f"opal_tpu failed: {mine.stderr[-500:]}")
+    my_full = normalize_full(mine.stdout)
+    ref_full = normalize_full(ref.stdout)
+    if my_full != ref_full and mode == "SW" and str(level) == "1":
+        # the reference's end locations for score-0 rows are indeterminate
+        # (reference: src/opal.cpp — score 0 never writes an end cell)
+        n0 = lambda ls: [re.sub(r"^(#\d+: 0) .*", r"\1", ln) for ln in ls]
+        my_full, ref_full = n0(my_full), n0(ref_full)
+    match = my_full == ref_full
+    mismatched = sum(1 for a, b in zip(my_full, ref_full) if a != b) + abs(
+        len(my_full) - len(ref_full))
+    first_diff = None
+    if not match:
+        for a, b in zip(my_full, ref_full):
+            if a != b:
+                first_diff = {"mine": a[:200], "ref": b[:200]}
+                break
+    ref_cpu = re.search(r"Cpu time of searching: ([\d.]+)", ref.stdout)
+    my_cpu = re.search(r"Cpu time of searching: ([\d.]+)", mine.stdout)
+    return {
+        "match": match, "lines": len(ref_full), "mismatched_lines": mismatched,
+        "ref_search_s": float(ref_cpu.group(1)) if ref_cpu else None,
+        "tpu_search_s": float(my_cpu.group(1)) if my_cpu else None,
+        "ref_wall_s": round(ref_wall, 1), "tpu_wall_s": round(my_wall, 1),
+        **({"first_diff": first_diff} if first_diff else {}),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--query", default="O74807",
+                    help="comma-separated query names from the reference set")
+    ap.add_argument("--n-seqs", type=int, default=541762)
+    ap.add_argument("--x2-seqs", type=int, default=15000)
+    ap.add_argument("--modes", default="SW,NW,HW,OV")
+    ap.add_argument("--x2-modes", default="SW,NW")
+    ap.add_argument("--db-cache", default="/tmp/opal_tpu_synth_full.fasta")
+    args = ap.parse_args()
+
+    residues = ensure_db(args.db_cache, args.n_seqs)
+    print(json.dumps({"db": args.db_cache, "n_seqs": args.n_seqs,
+                      "residues": residues}), flush=True)
+
+    all_ok = True
+    with tempfile.TemporaryDirectory() as td:
+        exe = build_reference(td)
+        x2_db = os.path.join(td, f"slice{args.x2_seqs}.fasta")
+        slice_fasta(args.db_cache, x2_db, args.x2_seqs)
+
+        for qname in args.query.split(","):
+            qpath = os.path.join(QUERY_DIR, f"{qname}.fasta")
+            for level in (0, 1):
+                for mode in args.modes.split(","):
+                    row = run_pair(exe, qpath, args.db_cache, mode, level)
+                    all_ok &= row["match"]
+                    print(json.dumps({"query": qname, "mode": mode,
+                                      "level": level,
+                                      "n_seqs": args.n_seqs, **row}),
+                          flush=True)
+            for mode in args.x2_modes.split(","):
+                row = run_pair(exe, qpath, x2_db, mode, 2)
+                all_ok &= row["match"]
+                print(json.dumps({"query": qname, "mode": mode, "level": 2,
+                                  "n_seqs": args.x2_seqs, **row}), flush=True)
+    print(json.dumps({"all_match": all_ok}), flush=True)
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,9 +13,10 @@ bytes everywhere). This tool
    (/root/reference/src, cf. opal_aligner.cpp:20-235),
 3. runs it over 2 queries x 4 modes x search types 0/1 and stores the
    result bodies gzipped under tests/golden_large/, plus search type 2
-   (full alignment blocks, ~12 MB raw but ~1-2 MB gzipped) for the O74807
-   query x 4 modes — committed so tools/tpu_parity.py --large needs no
-   compiler or mounted reference sources at run time.
+   (full alignment blocks, ~12 MB raw but ~1-2 MB gzipped each) for the
+   O74807 query x 4 modes AND P18080 x SW/HW — committed so
+   tools/tpu_parity.py --large needs no compiler or mounted reference
+   sources at run time.
 
 Re-running this tool must be a no-op diff-wise.
 """
@@ -82,8 +83,14 @@ def main():
     for q in QUERIES:
         qpath = f"/root/reference/test_data/query/{q}.fasta"
         for mode in MODES:
-            # x2 only for the headline query (4 x ~1.5 MB gzipped)
-            xs = (0, 1, 2) if q == "O74807" else (0, 1)
+            # x2 for every mode of the headline query (4 x ~1.5 MB
+            # gzipped) + SW/HW of P18080 (alignment-path parity at scale
+            # must not be single-query; P18080's NW/OV x2 skipped purely
+            # for fixture size — soak + live diffs cover those paths)
+            if q == "O74807":
+                xs = (0, 1, 2)
+            else:
+                xs = (0, 1, 2) if mode in ("SW", "HW") else (0, 1)
             for x in xs:
                 body = run_reference(exe, qpath, db_plain, mode, x)
                 name = f"{q}__synth12071__{mode}_x{x}_o3_e1.txt.gz"

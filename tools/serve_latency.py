@@ -71,7 +71,7 @@ def main():
         for q in qs[2:]:
             dt, r = one(q)
             times.append(dt)
-            assert len(r["hits"]) == args.top_k
+            assert len(r["hits"]) == min(args.top_k, args.n_seqs)
         times = np.array(times) * 1e3
         print(f"warm single-query latency (align={args.align}, "
               f"top_k={args.top_k}, "

@@ -37,15 +37,18 @@ def start_server(srv, window):
         with patch.object(socketserver.TCPServer, "__init__", catch_port):
             try:
                 srv.serve_tcp(0, batch_window=window)
-            except Exception:
-                pass
+            except Exception as exc:
+                box["exc"] = exc
+                started.set()
 
     threading.Thread(target=run, daemon=True).start()
-    assert started.wait(30)
+    assert started.wait(30), "server did not start"
+    if "exc" in box:
+        raise box["exc"]
     return box
 
 
-def run_clients(port, n_clients, n_reqs, queries, collect):
+def run_clients(port, n_clients, n_reqs, queries, collect, latencies=None):
     barrier = threading.Barrier(n_clients + 1)
 
     def client(ci):
@@ -56,10 +59,13 @@ def run_clients(port, n_clients, n_reqs, queries, collect):
             barrier.wait()
             for r in range(n_reqs):
                 q = queries[ci * n_reqs + r]
+                t0 = time.perf_counter()
                 f.write(json.dumps(
                     {"id": [ci, r], "query": q, "top_k": 5}) + "\n")
                 f.flush()
                 collect[(ci, r)] = json.loads(f.readline())["hits"]
+                if latencies is not None:
+                    latencies.append(time.perf_counter() - t0)
 
     threads = [threading.Thread(target=client, args=(ci,))
                for ci in range(n_clients)]
@@ -80,6 +86,11 @@ def main():
     ap.add_argument("--qlen", type=int, default=110)
     ap.add_argument("--window", type=float, default=0.004)
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--curve", default=None, metavar="N1,N2,...",
+                    help="sweep concurrent-client counts (e.g. 1,4,8,16,32)"
+                    " reporting QPS + p50/p95/max latency per point, with"
+                    " the batching window on AND off (sustained-load"
+                    " curve; replaces the single A/B run)")
     args = ap.parse_args()
 
     from opal_tpu.matrices import ScoreMatrix
@@ -99,6 +110,32 @@ def main():
         db_path = f.name
     srv = Server(db_path, block_size=1024, backend=args.backend)
     print(f"db resident: {args.db_seqs} seqs", flush=True)
+
+    if args.curve:
+        counts = [int(c) for c in args.curve.split(",")]
+        srv.warm([args.qlen] * min(8, max(counts)))
+        for window in (args.window, 0.0):
+            print(f"-- batching window = {window}", flush=True)
+            for nc in counts:
+                n_total = nc * args.reqs
+                mk = lambda: ["".join(alpha[j] for j in rng.integers(
+                    0, 20, size=args.qlen)) for _ in range(n_total)]
+                box = start_server(srv, window)
+                run_clients(box["port"], nc, args.reqs, mk(), {})  # warm
+                lat = []
+                dt = run_clients(box["port"], nc, args.reqs, mk(), {},
+                                 latencies=lat)
+                box["srv"].shutdown()
+                lat_ms = np.sort(np.array(lat) * 1e3)
+                print(json.dumps({
+                    "clients": nc, "window": window,
+                    "qps": round(n_total / dt, 1),
+                    "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+                    "p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
+                    "max_ms": round(float(lat_ms[-1]), 1),
+                }), flush=True)
+        os.unlink(db_path)
+        return
 
     n_total = args.clients * args.reqs
     # one fixed length: every stacked group size k shares one compile
