@@ -50,10 +50,11 @@ def test_fixture_integrity():
 
 
 def test_goldens_present():
-    # 16 score/score+end goldens + 4 committed x2 alignment goldens
-    # (one per mode; lets `tpu_parity --large` run with no compiler)
+    # 16 score/score+end goldens + 6 committed x2 alignment goldens
+    # (all 4 modes for O74807 + SW/HW for P18080; lets
+    # `tpu_parity --large` run with no compiler)
     assert len([f for f in os.listdir(GOLDEN_LARGE)
-                if f.endswith(".txt.gz")]) == 20
+                if f.endswith(".txt.gz")]) == 22
 
 
 @pytest.mark.parametrize("mode,x", [("SW", 0), ("NW", 1)])
