@@ -19,14 +19,19 @@ per cell the four DECISION BITS the backtrace walk consumes:
   bit2  E == H(left) - Go (gap-open vs gap-extend into E)
   bit3  F == H(up)   - Go (same for F)
 
-plus per-lane (score, end) trackers replicating find_alignment's
-early-stop column and first-row-in-last-column tie rules per mode.
-The [Tp, Qp, B] bit matrix NEVER leaves the device: the backtrace walk
-runs on device too, as a lockstep lax.scan across lanes (per lane the
-walk is sequential; across lanes it is data-parallel), emitting one op
-code per step. The host downloads only the [steps, B] op-code array —
-O(path length) per pair, not O(cells) — compacts it, and replay-validates
-every path.
+(bit4 additionally records whether the diagonal substitution is a MATCH,
+so the walk touches no letter arrays) plus per-lane (score, end) trackers
+replicating find_alignment's early-stop column and
+first-row-in-last-column tie rules per mode. The [Tp, Qp, B] bit matrix
+NEVER leaves the device: the backtrace walk runs on device too, as a
+lockstep lax.scan across lanes (per lane the walk is sequential; across
+lanes it is data-parallel) with field switches fused into the first
+emission of the run they start — every live step emits one op, so
+Qp+Tp+4 steps suffice. The host downloads only the base-5-packed op
+codes (2 per byte, [steps//2, B]) — O(path length) per pair, not
+O(cells) — unpacks/compacts them, and replay-validates every path.
+All groups dispatch before any result is fetched (async), so later
+groups' fills overlap earlier groups' downloads.
 
 Bit-exactness: all comparisons are computed from values that equal
 traceback.find_alignment's cell-by-cell — out-of-band cells are masked
@@ -99,7 +104,9 @@ def _fill_walk_fn(mode: int, Qp: int, Tp: int, B: int, interpret: bool,
     Lsb = LSB_F if use_f32 else LSB
     Neg2 = NEG2_F if use_f32 else NEG2
 
-    steps = 2 * (Qp + Tp) + 8  # ops <= Qp+Tp+2; +1 field switch per op
+    # every walk step emits one op (field switches are fused into the
+    # first emission of the run they start), so ops <= Qp+Tp+2 bounds it
+    steps = Qp + Tp + 4
 
     def fill(aq, at, qlen, tlen, bottom, top, limit, go, ge, matrix):
         # aq [Qp, B] int32 letters, at [Tp, B]; per-lane int32 params.
@@ -163,6 +170,9 @@ def _fill_walk_fn(mode: int, Qp: int, Tp: int, B: int, interpret: bool,
                 | ((H_m == F_m).astype(jnp.uint8) << 1)
                 | ((E_m == prevH - god).astype(jnp.uint8) << 2)
                 | ((F_m == uh - god).astype(jnp.uint8) << 3)
+                # bit4: diagonal substitution is a MATCH at this cell —
+                # precomputed here so the walk needs no letter gathers
+                | ((aq == letters[None, :]).astype(jnp.uint8) << 4)
             )
 
             # trackers: find_alignment's loop guard is
@@ -223,11 +233,19 @@ def _fill_walk_fn(mode: int, Qp: int, Tp: int, B: int, interpret: bool,
         score = h_last if mode == MODE_NW else m
         return dirs, score.astype(jnp.int32), last_col, endq
 
-    def walk(dirs, aq, at, r0, c0):
+    def walk(dirs, r0, c0):
         # Lockstep backtrace over the device-resident decision bits,
         # mirroring traceback.find_alignment's walk exactly (tie order
         # E -> F -> diagonal; manual border indels once one coordinate
         # is exhausted). Lanes with r0 = c0 = -1 emit nothing.
+        #
+        # Field switches are FUSED into the first emission of the run
+        # they start (entering E from H emits that INS in the same step,
+        # using this cell's open bit — identical to the two-step original
+        # since the switch step never moved), so EVERY live step emits
+        # one op: the scan is Qp+Tp+4 steps, half the unfused bound, and
+        # the per-step cost is ONE dirs gather (bit4 carries the
+        # match/mismatch distinction, so no letter gathers).
         lanes = jnp.arange(B, dtype=jnp.int32)
 
         def step(carry, _):
@@ -241,40 +259,38 @@ def _fill_walk_fn(mode: int, Qp: int, Tp: int, B: int, interpret: bool,
             b1 = (bits & 2) != 0
             b2 = (bits & 4) != 0
             b3 = (bits & 8) != 0
+            is_match = (bits & 16) != 0
 
             fH = inside & (field == 0)
             fE = inside & (field == 1)
             fF = inside & (field == 2)
-            toE = fH & b0
-            toF = fH & ~b0 & b1
+            ins_step = fE | (fH & b0)            # E run: emit INS now
+            del_step = fF | (fH & ~b0 & b1)      # F run: emit DEL now
             diag = fH & ~b0 & ~b1
-            e_open = fE & b2 & (c > 0)
-            f_open = fF & b3 & (r > 0)
+            e_open = ins_step & b2 & (c > 0)
+            f_open = del_step & b3 & (r > 0)
 
             bdel = (~inside) & (r >= 0)
             bins = (~inside) & (r < 0) & (c >= 0)
 
-            emit_sub = diag
-            emit_ins = fE | bins
-            emit_del = fF | bdel
-            qlet = aq[jnp.clip(r, 0, Qp - 1), lanes]
-            tlet = at[jnp.clip(c, 0, Tp - 1), lanes]
-            sub = jnp.where(qlet == tlet, ALIGN_MATCH, ALIGN_MISMATCH)
+            sub = jnp.where(is_match, ALIGN_MATCH, ALIGN_MISMATCH)
             code = jnp.where(
-                emit_sub, sub + 1,
-                jnp.where(emit_ins, ALIGN_INS + 1,
-                          jnp.where(emit_del, ALIGN_DEL + 1, 0)))
+                diag, sub + 1,
+                jnp.where(ins_step | bins, ALIGN_INS + 1,
+                          jnp.where(del_step | bdel, ALIGN_DEL + 1, 0)))
 
-            field = jnp.where(toE, 1, field)
-            field = jnp.where(toF, 2, field)
-            field = jnp.where(e_open | f_open, 0, field)
-            r = r - (diag | fF | bdel).astype(jnp.int32)
-            c = c - (diag | fE | bins).astype(jnp.int32)
+            field = jnp.where(ins_step, 1, field)
+            field = jnp.where(del_step, 2, field)
+            field = jnp.where(e_open | f_open | diag, 0, field)
+            r = r - (diag | del_step | bdel).astype(jnp.int32)
+            c = c - (diag | ins_step | bins).astype(jnp.int32)
             return (r, c, field), code.astype(jnp.uint8)
 
         init = (r0, c0, jnp.zeros((B,), jnp.int32))
         _, codes = jax.lax.scan(step, init, None, length=steps)
-        return codes  # [steps, B]
+        # pack 2 codes/byte (values 0..4 -> base-5 pair) — halves the
+        # O(path) download, the decode is one divmod on host
+        return codes[0::2] * 5 + codes[1::2]  # [steps//2, B]
 
     def run(aq, at, qlen, tlen, bottom, top, limit, go, ge, matrix):
         import jax.numpy as jnp
@@ -292,7 +308,7 @@ def _fill_walk_fn(mode: int, Qp: int, Tp: int, B: int, interpret: bool,
             rend_q, rend_t = endq, last_col
             ok = (score == limit) & (endq < BIGR)
         ok = ok & (rend_q >= 0) & (rend_q < qlen)
-        codes = walk(dirs, aq, at,
+        codes = walk(dirs,
                      jnp.where(ok, rend_q, -1),
                      jnp.where(ok, rend_t, -1))
         return score, rend_q, rend_t, ok, codes
@@ -307,7 +323,7 @@ def _round_up(x, q):
 
 
 def align_winners_device(query, db_list, gap_open, gap_ext, matrix,
-                         mode, winners, lanes=256, interpret=False):
+                         mode, winners, lanes=512, interpret=False):
     """Batched device reconstruction for `winners`:
     [(index, score, end_q, end_t), ...]. Returns {index: (start_q,
     start_t, ops)} for every winner the device path reconstructed and
@@ -353,6 +369,11 @@ def align_winners_device(query, db_list, gap_open, gap_ext, matrix,
     out = {}
     # bucket by padded shape to bound compile count and padding waste
     jobs.sort(key=lambda j: (len(j[2]), len(j[3])))
+    # Phase 1: pack + DISPATCH every group (jax dispatch is async), so
+    # group k+1's fill computes while group k's results download — the
+    # per-group sync round trips of the serial loop measurably dominated
+    # on the tunneled link.
+    pending = []
     for g0 in range(0, len(jobs), lanes):
         group = jobs[g0 : g0 + lanes]
         t0 = _time.perf_counter()
@@ -382,27 +403,40 @@ def align_winners_device(query, db_list, gap_open, gap_ext, matrix,
         if dtt not in mat_dev:
             mat_dev[dtt] = jnp.asarray(m, dtt)
         fn = _fill_walk_fn(mode, Qp, Tp, B, interpret, use_f32)
-        t1 = _time.perf_counter()
-        score_d, rend_q, rend_t, ok, codes = fn(
+        handles = fn(
             jnp.asarray(aqs), jnp.asarray(ats), jnp.asarray(qlen),
             jnp.asarray(tlen), jnp.asarray(bot), jnp.asarray(top_),
             jnp.asarray(lim), jnp.int32(Go), jnp.int32(Ge), mat_dev[dtt])
-        # O(path) download: [steps, B] op codes + per-lane scalars
+        t_pack += _time.perf_counter() - t0
+        groups.append((B, Qp, Tp))
+        pending.append((group, handles))
+
+    # Phase 2: fetch (O(path) download: packed [steps//2, B] op codes +
+    # per-lane scalars) and replay-validate on host. Kick off every
+    # device->host copy before blocking on the first, so later groups'
+    # transfers overlap this group's replay work.
+    for _, handles in pending:
+        for h in handles:
+            if hasattr(h, "copy_to_host_async"):
+                h.copy_to_host_async()
+    for group, (score_d, rend_q, rend_t, ok, codes) in pending:
+        t1 = _time.perf_counter()
         codes = np.asarray(codes)
         rend_q = np.asarray(rend_q)
         rend_t = np.asarray(rend_t)
         ok = np.asarray(ok)
         t2 = _time.perf_counter()
-        t_pack += t1 - t0
         t_dev += t2 - t1
-        groups.append((B, Qp, Tp))
 
         for k, (i, score, aq, at, b, t, _vb) in enumerate(group):
             if not ok[k]:
                 continue
             sq = len(aq) - int(rend_q[k]) - 1
             st = len(at) - int(rend_t[k]) - 1
-            lane = codes[:, k]
+            pair = codes[:, k]
+            lane = np.empty(pair.size * 2, np.uint8)  # unpack base-5 pairs
+            lane[0::2] = pair // 5
+            lane[1::2] = pair % 5
             # walk emission order IS forward alignment order (the walk
             # runs end->start of the REVERSED problem); 0 = no emission
             ops = (lane[lane != 0] - 1).astype(np.uint8)

@@ -6,10 +6,12 @@ On the real chip with the Swiss-Prot-scale synthetic DB:
   2. Host alignment pass (per-pair C fill, 1 core here).
   3. Device alignment pass (engine/device_fill.py batched fill; walk and
      replay validation on host), outputs diffed field-by-field vs host.
-Reports wall time for both, the device pass's stage split (fill+download
-vs walk+replay), and the implied fill rates. The dirs payload is
-1 byte/cell (decision bits) -- on the tunneled chip (~35 MB/s) the
-download dominates; the split shows what a direct-attached chip gets.
+Reports wall time for both passes plus a COLD and a WARM timing of
+`align_winners_device` (the env-knob e2e path pays one-time jit compiles
+per group shape; the warm number is the steady-state serving cost). The
+decision-bit matrix never leaves the device: the walk runs there too and
+only packed op codes (2 per byte) download. `OPAL_TPU_DEVICE_FILL_STATS=1`
+prints the per-stage split.
 """
 import argparse
 import os
@@ -27,7 +29,7 @@ def main():
     ap.add_argument("--n-seqs", type=int, default=541762)
     ap.add_argument("--top-k", type=int, default=1000)
     ap.add_argument("--qlen", type=int, default=513)
-    ap.add_argument("--lanes", type=int, default=256)
+    ap.add_argument("--lanes", type=int, default=512)
     args = ap.parse_args()
 
     from make_synth_db import make_db_arrays
@@ -105,15 +107,15 @@ def main():
             n_dev += 1
     print(f"outputs identical field-by-field ({n_dev} paths)", flush=True)
 
-    # stage split: time align_winners_device alone (fill+download+walk+
-    # replay internally); separate the pure device fill by timing the
-    # jitted fn on the largest group shape.
-    t0 = time.perf_counter()
-    got = align_winners_device(query, db, 3, 1, sm.matrix, MODE_SW,
-                               winners, lanes=args.lanes)
-    t_all = time.perf_counter() - t0
-    print(f"align_winners_device: {t_all:.2f} s, coverage "
-          f"{len(got)}/{len(winners)}", flush=True)
+    # cold vs warm align_winners_device (cold pays the per-group-shape
+    # jit compiles; warm is the steady-state serving cost)
+    for label in ("cold", "warm"):
+        t0 = time.perf_counter()
+        got = align_winners_device(query, db, 3, 1, sm.matrix, MODE_SW,
+                                   winners, lanes=args.lanes)
+        t_all = time.perf_counter() - t0
+        print(f"align_winners_device ({label}): {t_all:.2f} s, coverage "
+              f"{len(got)}/{len(winners)}", flush=True)
 
 
 if __name__ == "__main__":
