@@ -256,16 +256,20 @@ def main(argv=None) -> int:
                         "\n#<i>: <score> (<query start>, <target start>)"
                         " (<query end>, <target end>)"
                     )
+                    # batch stdout writes: per-row print() costs more than
+                    # the search itself at 541k rows (syscall + flush per
+                    # line); join blocks of rows into single writes
+                    buf = []
                     for i, (r, t) in enumerate(zip(results, db)):
-                        print(result_line(base + i, r))
+                        buf.append(result_line(base + i, r))
                         if r.alignment is not None:
-                            print(
-                                render_alignment(
-                                    queries[k], t, r, score_matrix.alphabet
-                                ),
-                                end="",
-                            )
-                            print()
+                            buf.append(render_alignment(
+                                queries[k], t, r, score_matrix.alphabet))
+                        if len(buf) >= 50000:
+                            sys.stdout.write("\n".join(buf) + "\n")
+                            buf = []
+                    if buf:
+                        sys.stdout.write("\n".join(buf) + "\n")
 
     if global_align_top:
         from .engine.search import alignment_pass

@@ -423,6 +423,9 @@ class Server:
         class Srv(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
+            # default accept backlog (5) drops connections under bursts
+            # of concurrent clients; 128 rides out a 32-client stampede
+            request_queue_size = 128
 
         with Srv((host, port), Handler) as srv:
             actual = srv.server_address[1]

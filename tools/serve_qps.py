@@ -52,11 +52,21 @@ def run_clients(port, n_clients, n_reqs, queries, collect, latencies=None):
     barrier = threading.Barrier(n_clients + 1)
 
     def client(ci):
-        with socket.create_connection(("127.0.0.1", port),
-                                      timeout=300) as c:
+        last = None
+        for _ in range(5):  # ride out accept-queue bursts
+            try:
+                c = socket.create_connection(("127.0.0.1", port),
+                                             timeout=300)
+                break
+            except OSError as exc:
+                last = exc
+                time.sleep(0.2)
+        else:
+            raise last
+        with c:
             f = c.makefile("rw")
             json.loads(f.readline())
-            barrier.wait()
+            barrier.wait(timeout=600)
             for r in range(n_reqs):
                 q = queries[ci * n_reqs + r]
                 t0 = time.perf_counter()
@@ -71,7 +81,7 @@ def run_clients(port, n_clients, n_reqs, queries, collect, latencies=None):
                for ci in range(n_clients)]
     for t in threads:
         t.start()
-    barrier.wait()
+    barrier.wait(timeout=600)
     t0 = time.perf_counter()
     for t in threads:
         t.join()
