@@ -70,10 +70,12 @@ def plan_blocks(db, batch: int, subset=None) -> list[Block]:
     # Swiss-Prot scale those ~1k empty lanes × a ~5k-column t_pad were
     # 2.2% of all padded DP cells; on the shortest block they are ~0.01%.
     first = idx.size % batch or batch
+    lens_sorted = lens[order]
     starts = [0] + list(range(first, idx.size, batch))
     for j, s in enumerate(starts):
-        part = idx[s : s + (first if j == 0 else batch)]
-        maxlen = max(len(db[i]) for i in part)
+        cnt = first if j == 0 else batch
+        part = idx[s : s + cnt]
+        maxlen = int(lens_sorted[s + cnt - 1])  # ascending order
         # Exact block length (quantum 1): the ragged pallas stream runs the
         # last chunk of each block with a data-driven column count (meta
         # ncols), so block padding need not reach the T_CHUNK=64 boundary —
@@ -94,9 +96,13 @@ def plan_blocks(db, batch: int, subset=None) -> list[Block]:
         # this to skip per-column masking entirely.
         letters = np.full((t_pad, batch), PAD_LETTER, dtype=np.int8)
         lengths = np.zeros(batch, dtype=np.int32)
-        for lane, i in enumerate(part):
-            seq = db[i]
-            letters[: len(seq), lane] = seq
-            lengths[lane] = len(seq)
+        lengths[:cnt] = lens_sorted[s : s + cnt]
+        # vectorized lane fill: one concatenation + one masked scatter
+        # (the per-lane assignment loop was ~40% of upload-path CPU at
+        # 541k sequences). letters.T[mask] iterates lane-major then
+        # row-major — exactly the concatenation order.
+        cat = np.concatenate([db[i] for i in part])
+        mask = np.arange(t_pad, dtype=np.int32)[None, :] < lengths[:, None]
+        letters.T[mask] = cat
         blocks.append(Block(indices=part, letters=letters, lengths=lengths, t_pad=t_pad))
     return blocks

@@ -23,31 +23,50 @@ DEFAULT_MAX_RESIDUES = 1073741824  # 1 GiB, reference: src/opal_aligner.cpp:286
 
 
 class PushbackReader:
-    """Binary line reader with one-line pushback.
+    """Binary line reader with arbitrary-size byte pushback.
 
-    The chunked reader's only "rewind" is un-reading the line that
-    overflowed the residue budget. On a GzipFile a backward seek
-    re-decompresses from the START of the file, making a multi-chunk
-    gzipped scan O(n_chunks^2); buffering the line on the Python side
-    makes every input O(n) and also drops the per-line tell() overhead."""
+    The chunked reader's "rewind" is un-reading bytes that overflowed the
+    residue budget (one line on the slow path; a whole probed buffer on
+    the fast path). On a GzipFile a backward seek re-decompresses from
+    the START of the file, making a multi-chunk gzipped scan
+    O(n_chunks^2); buffering on the Python side makes every input O(n)
+    and also drops the per-line tell() overhead. Pending bytes are kept
+    as (buffer, offset) so line extraction never re-copies the tail."""
 
     def __init__(self, f: BinaryIO):
         self._f = f
-        self._pending: bytes | None = None
+        self._buf = b""
+        self._off = 0
 
     def readline(self) -> bytes:
-        if self._pending is not None:
-            line, self._pending = self._pending, None
-            return line
+        if self._off < len(self._buf):
+            i = self._buf.find(b"\n", self._off)
+            if i >= 0:
+                line = self._buf[self._off : i + 1]
+                self._off = i + 1
+                if self._off == len(self._buf):
+                    self._buf, self._off = b"", 0
+                return line
+            line = self._buf[self._off :]
+            self._buf, self._off = b"", 0
+            return line + self._f.readline()
         return self._f.readline()
 
-    def unread(self, line: bytes) -> None:
-        assert self._pending is None
-        self._pending = line
+    def unread(self, data: bytes) -> None:
+        """Prepend bytes (a line, or a whole probed buffer) to the stream."""
+        rest = self._buf[self._off :]
+        self._buf = data + rest if rest else data
+        self._off = 0
 
-    def read(self, *a):
-        assert self._pending is None
-        return self._f.read(*a)
+    def read(self, n: int = -1) -> bytes:
+        pend = self._buf[self._off :]
+        self._buf, self._off = b"", 0
+        if n is None or n < 0:
+            return pend + self._f.read()
+        if len(pend) >= n:
+            self._buf = pend[n:]
+            return pend[:n]
+        return pend + self._f.read(n - len(pend))
 
     def close(self):
         return self._f.close()
@@ -72,6 +91,35 @@ def read_fasta_sequences(
     Returns (seqs, eof) or (seqs, names, eof) when return_names is True.
     """
     lut = np.asarray(letter_idx, dtype=np.uint8)
+
+    # Fast path: when the rest of the stream fits within the residue
+    # budget (the overwhelmingly common case — the budget is 1 GiB), hand
+    # the whole buffer to the native C tokenizer (~20x the Python line
+    # loop; it dominated one-shot CLI wall time at 541k sequences).
+    # A stream longer than the probe is pushed back untouched and parsed
+    # by the exact-semantics line loop below (budget cut + rewind).
+    if not return_names and hasattr(f, "unread"):
+        try:
+            from ._native import parse_fasta_buffer
+        except Exception:  # pragma: no cover - import robustness
+            parse_fasta_buffer = None
+        if parse_fasta_buffer is not None:
+            # residues <= bytes, so budget + slack bytes always either
+            # reach EOF or contain more than a full budget of residues
+            want = min(max_residues + (1 << 20), 2**62)
+            buf = f.read(want)
+            if len(buf) < want:
+                seqs_fast = parse_fasta_buffer(buf, lut)
+                # the budget cut triggers before starting sequence k iff
+                # the residues completed so far exceed it — no cut over
+                # this whole buffer iff all-but-the-last fit the budget
+                if seqs_fast is not None and (
+                        len(seqs_fast) <= 1
+                        or sum(a.size for a in seqs_fast)
+                        - seqs_fast[-1].size <= max_residues):
+                    return seqs_fast, True
+            f.unread(buf)
+
     seqs: list[np.ndarray] = []
     names: list[str] = []
     parts: list[bytes] = []  # raw residue byte-chunks of the current sequence

@@ -65,6 +65,41 @@ def test_fasta_chunking(blosum50):
     assert eof2 and len(s2) == 1 and s2[0].size == 5
 
 
+def test_fasta_chunking_pushback_reader(blosum50):
+    """Budget + rewind through PushbackReader (the CLI's stream type):
+    the native-tokenizer fast path must give the same chunk split and
+    bytes as the Python line loop, including when the probe overlaps the
+    budget cut, and byte pushback must resume mid-stream exactly."""
+    from opal_tpu.fasta import PushbackReader
+
+    data = b">a\n" + b"A" * 10 + b"\n>b\n" + b"R" * 10 + b"\n>c\n" + b"N" * 5 + b"\n"
+    lut = blosum50.letter_index()
+    f = PushbackReader(io.BytesIO(data))
+    s1, eof1 = read_fasta_sequences(f, lut, max_residues=15)
+    assert not eof1 and len(s1) == 2 and s1[0].size == 10 and s1[1].size == 10
+    s2, eof2 = read_fasta_sequences(f, lut, max_residues=15)
+    assert eof2 and len(s2) == 1 and s2[0].size == 5
+    # whole-stream fast path agrees with the line loop
+    g = PushbackReader(io.BytesIO(data))
+    sall, eof = read_fasta_sequences(g, lut, max_residues=2**62)
+    assert eof and [a.size for a in sall] == [10, 10, 5]
+
+
+def test_pushback_reader_byte_ops():
+    from opal_tpu.fasta import PushbackReader
+
+    f = PushbackReader(io.BytesIO(b"one\ntwo\nthree\n"))
+    assert f.readline() == b"one\n"
+    f.unread(b"zero\none\n")          # arbitrary multi-line pushback
+    assert f.readline() == b"zero\n"
+    assert f.read(2) == b"on"         # read served from pending
+    assert f.readline() == b"e\n"     # remainder of pending, then stream
+    f.unread(b"x")                    # pushback without newline
+    assert f.readline() == b"xtwo\n"  # joins with the underlying stream
+    assert f.read() == b"three\n"
+    assert f.readline() == b""
+
+
 def test_fasta_headerless_prefix(blosum50):
     # text before any '>' is a sequence (reference reader behavior)
     seqs, eof = read_fasta_sequences(io.BytesIO(b"AR\n>x\nND\n"), blosum50.letter_index())
