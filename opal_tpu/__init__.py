@@ -17,6 +17,26 @@ if not _os.environ.get("OPAL_TPU_NO_CACHE"):
         _os.path.join(_os.path.expanduser("~"), ".cache", "opal_tpu_jax"),
     )
     _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    # A sitecustomize (e.g. a PJRT plugin registration) may have imported
+    # jax BEFORE this package set the env vars — jax snapshots them into
+    # its config at import, leaving the persistent cache silently
+    # uninitialized (TPU kernels then recompile in every process, tens of
+    # seconds each). If jax is already in, apply the settings directly.
+    import sys as _sys
+
+    if "jax" in _sys.modules:
+        try:
+            _jc = _sys.modules["jax"].config
+            if getattr(_jc, "jax_compilation_cache_dir", None) is None:
+                _jc.update("jax_compilation_cache_dir",
+                           _os.environ["JAX_COMPILATION_CACHE_DIR"])
+                _jc.update(
+                    "jax_persistent_cache_min_compile_time_secs",
+                    float(_os.environ[
+                        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
+                )
+        except Exception:  # never let cache plumbing break imports
+            pass
 
 from .constants import (  # noqa: F401,E402
     ALIGN_DEL,
