@@ -85,6 +85,26 @@ def test_fasta_chunking_pushback_reader(blosum50):
     assert eof and [a.size for a in sall] == [10, 10, 5]
 
 
+def test_fasta_chunking_gzip_stream(blosum50, tmp_path):
+    """Chunked reads with budget+rewind over a GZIP stream (PushbackReader
+    pushback instead of backward seeks), exercising the tokenizer fast
+    path on the final chunk."""
+    import gzip
+
+    from opal_tpu.fasta import open_fasta
+
+    data = b">a\n" + b"A" * 10 + b"\n>b\n" + b"R" * 10 + b"\n>c\n" + b"N" * 5 + b"\n"
+    p = tmp_path / "db.fa.gz"
+    with gzip.open(p, "wb") as g:
+        g.write(data)
+    lut = blosum50.letter_index()
+    with open_fasta(str(p)) as f:
+        s1, eof1 = read_fasta_sequences(f, lut, max_residues=15)
+        assert not eof1 and [a.size for a in s1] == [10, 10]
+        s2, eof2 = read_fasta_sequences(f, lut, max_residues=15)
+        assert eof2 and [a.size for a in s2] == [5]
+
+
 def test_pushback_reader_byte_ops():
     from opal_tpu.fasta import PushbackReader
 

@@ -33,7 +33,7 @@ run soak_500        3600 python tools/soak.py --trials 500
 # long-query pool: panel chains incl. x1 (score+end) — the combo whose
 # VMEM blowup the short pool cannot reach (see CLAUDE.md panels note)
 run soak_long_60    3600 python tools/soak.py --trials 60 --long
-run compare_ref     1200 python tools/compare_vs_reference.py \
+run compare_ref     2400 python tools/compare_vs_reference.py \
     /root/reference/test_data/query/P19930.fasta \
     /root/reference/test_data/db/uniprot_sprot196.fasta -a SW -x 2
 
