@@ -338,6 +338,30 @@ class Server:
             print(self._respond(line), file=fout, flush=True)
         return 0
 
+    def start_keepalive(self, interval: float = 30.0) -> None:
+        """Touch the device with a trivial computation every `interval`
+        seconds from a daemon thread. Tunneled/remote devices can stall
+        for tens of seconds (observed up to minutes) on the FIRST touch
+        after an idle period; a periodic no-op keeps the link and device
+        warm so real requests never absorb that stall. Touches skip while
+        a search is in flight (they share nothing with request state)."""
+        import threading
+        import time as _time
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        def beat():
+            x = jnp.zeros((8, 128), jnp.float32)
+            while True:
+                _time.sleep(interval)
+                try:
+                    np.asarray(x + 1.0)  # forces a device round trip
+                except Exception:
+                    pass  # keepalive must never kill the server
+
+        threading.Thread(target=beat, daemon=True).start()
+
     def serve_tcp(self, port: int, host: str = "127.0.0.1",
                   batch_window: float = 0.004) -> int:
         """TCP front end for the same line protocol: each connection gets
@@ -461,12 +485,20 @@ def main(argv=None) -> int:
                         "concurrent compatible requests arriving within "
                         "this window share one stacked kernel launch "
                         "(0 = strictly serial)")
+    p.add_argument("--keepalive", type=float, default=30.0,
+                   metavar="SECONDS",
+                   help="touch the device with a no-op every N seconds so "
+                        "idle periods never leave the next request to "
+                        "absorb a tunneled-device wake-up stall "
+                        "(0 = disabled; default 30)")
     args = p.parse_args(argv)
     srv = Server(args.db, matrix_name=args.matrix,
                  matrix_file=args.matrix_file, block_size=args.block_size,
                  backend=args.backend)
     if args.warm:
         srv.warm(int(x) for x in args.warm.split(","))
+    if args.keepalive > 0:
+        srv.start_keepalive(args.keepalive)
     if args.listen is not None:
         return srv.serve_tcp(args.listen, host=args.host,
                              batch_window=args.batch_window)

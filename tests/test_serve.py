@@ -254,6 +254,22 @@ def test_serve_tcp_fuzz_malformed_and_oversized(server):
     c.close()
 
 
+def test_serve_keepalive_thread(server):
+    """The keepalive device heartbeat must run alongside request handling
+    without disturbing responses (it exists to absorb tunneled-device
+    wake-up stalls so real requests don't)."""
+    import time
+
+    srv, sm, rng = server
+    alpha = sm.alphabet
+    q = "".join(alpha[j] for j in rng.integers(0, 20, size=22))
+    before = _roundtrip(srv, [{"id": 1, "query": q, "top_k": 3}])
+    srv.start_keepalive(interval=0.05)
+    time.sleep(0.3)  # several heartbeats
+    after = _roundtrip(srv, [{"id": 1, "query": q, "top_k": 3}])
+    assert before == after
+
+
 def test_serve_warm_covers_single_and_stacked(server):
     """warm() must compile both the per-length single-query kernels and
     the stacked multi-query kernels for the given length combination
