@@ -329,7 +329,7 @@ def align_winners_device(query, db_list, gap_open, gap_ext, matrix,
     start_t, ops)} for every winner the device path reconstructed and
     replay-validated; callers run the host per-pair path for the rest.
     """
-    from ..traceback import _replay
+    from ..traceback import _replay_batch
 
     query = np.asarray(query, np.uint8)
     m = np.asarray(matrix, np.int64)
@@ -428,24 +428,39 @@ def align_winners_device(query, db_list, gap_open, gap_ext, matrix,
         t2 = _time.perf_counter()
         t_dev += t2 - t1
 
-        for k, (i, score, aq, at, b, t, _vb) in enumerate(group):
-            if not ok[k]:
-                continue
-            sq = len(aq) - int(rend_q[k]) - 1
-            st = len(at) - int(rend_t[k]) - 1
-            pair = codes[:, k]
-            lane = np.empty(pair.size * 2, np.uint8)  # unpack base-5 pairs
-            lane[0::2] = pair // 5
-            lane[1::2] = pair % 5
-            # walk emission order IS forward alignment order (the walk
-            # runs end->start of the REVERSED problem); 0 = no emission
-            ops = (lane[lane != 0] - 1).astype(np.uint8)
-            eq, et = len(aq) - 1, len(at) - 1
-            got, req, ret = _replay(query, np.asarray(db_list[i],
-                                                      np.uint8),
-                                    sq, st, ops, Go, Ge, m)
-            if got == score and (req, ret) == (eq, et):
-                out[i] = (sq, st, ops)
+        oks = np.flatnonzero(ok)
+        if oks.size == 0:
+            continue
+        # vectorized base-5 unpack + per-lane compaction for every ok
+        # lane at once. Walk emission order IS forward alignment order
+        # (the walk runs end->start of the REVERSED problem); 0 = no
+        # emission.
+        pairs = codes[:, oks].astype(np.int16)       # [steps//2, L]
+        up = np.empty((pairs.shape[0] * 2, oks.size), np.uint8)
+        up[0::2] = pairs // 5
+        up[1::2] = pairs % 5
+        lanes_ops = np.ascontiguousarray(up.T)       # [L, steps]
+        nz = lanes_ops != 0
+        counts = nz.sum(1)
+        cat_ops = lanes_ops[nz] - 1                  # lane-major concat
+        per_lane = np.split(cat_ops, np.cumsum(counts)[:-1])
+
+        sqs = np.empty(oks.size, np.int64)
+        sts = np.empty(oks.size, np.int64)
+        targets = []
+        for j, k in enumerate(oks):
+            i, score, aq, at, b, t, _vb = group[k]
+            sqs[j] = len(aq) - int(rend_q[k]) - 1
+            sts[j] = len(at) - int(rend_t[k]) - 1
+            targets.append(np.asarray(db_list[i], np.uint8))
+        got_s, got_rq, got_rt, valid = _replay_batch(
+            query, targets, sqs, sts, cat_ops, counts, Go, Ge, m)
+        for j, k in enumerate(oks):
+            i, score, aq, at, b, t, _vb = group[k]
+            if (valid[j] and got_s[j] == score
+                    and got_rq[j] == len(aq) - 1
+                    and got_rt[j] == len(at) - 1):
+                out[i] = (int(sqs[j]), int(sts[j]), per_lane[j])
         if stats:
             t_replay += _time.perf_counter() - t2
     if stats:

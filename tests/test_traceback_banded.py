@@ -271,3 +271,37 @@ def test_checkpointed_memory_shrinks(monkeypatch):
         alignment=ops, alignment_length=len(ops),
     )
     check_alignment(query, target, res, 3, 1, matrix, MODE_SW)
+
+
+def test_replay_batch_matches_scalar_replay():
+    """_replay_batch must equal _replay segment-by-segment, including
+    empty paths and paths that walk out of the matrix (valid=False)."""
+    import numpy as np
+
+    from opal_tpu.traceback import _replay, _replay_batch
+
+    rng = np.random.default_rng(99)
+    A = 8
+    matrix = rng.integers(-4, 6, size=(A, A)).astype(np.int64)
+    query = rng.integers(0, A, size=60, dtype=np.uint8)
+    targets, sq, st, ops_list = [], [], [], []
+    for k in range(50):
+        t = rng.integers(0, A, size=int(rng.integers(1, 80)), dtype=np.uint8)
+        targets.append(t)
+        n_ops = int(rng.integers(0, 50))
+        ops_list.append(rng.integers(0, 4, size=n_ops).astype(np.uint8))
+        sq.append(int(rng.integers(0, len(query))))
+        st.append(int(rng.integers(0, len(t))))
+    counts = np.array([len(o) for o in ops_list])
+    cat = (np.concatenate(ops_list) if counts.sum()
+           else np.zeros(0, np.uint8))
+    scores, reqs, rets, valid = _replay_batch(
+        query, targets, sq, st, cat, counts, 3, 1, matrix)
+    for k in range(50):
+        got = _replay(query, targets[k], sq[k], st[k], ops_list[k],
+                      3, 1, matrix)
+        if got[0] is None:
+            assert not valid[k], k
+        else:
+            assert valid[k], (k, got)
+            assert (scores[k], reqs[k], rets[k]) == got, (k, got)
