@@ -338,29 +338,34 @@ class Server:
             print(self._respond(line), file=fout, flush=True)
         return 0
 
-    def start_keepalive(self, interval: float = 30.0) -> None:
+    def start_keepalive(self, interval: float = 30.0):
         """Touch the device with a trivial computation every `interval`
         seconds from a daemon thread. Tunneled/remote devices can stall
         for tens of seconds (observed up to minutes) on the FIRST touch
         after an idle period; a periodic no-op keeps the link and device
-        warm so real requests never absorb that stall. Touches skip while
-        a search is in flight (they share nothing with request state)."""
+        warm so real requests never absorb that stall. Returns a
+        callable that stops the heartbeat (it must not outlive the JAX
+        runtime — a touch racing interpreter teardown aborts)."""
         import threading
-        import time as _time
 
         import jax.numpy as jnp
         import numpy as np
 
+        stop = threading.Event()
+
         def beat():
             x = jnp.zeros((8, 128), jnp.float32)
-            while True:
-                _time.sleep(interval)
+            while not stop.wait(interval):
                 try:
                     np.asarray(x + 1.0)  # forces a device round trip
-                except Exception:
-                    pass  # keepalive must never kill the server
+                except BaseException:
+                    return  # keepalive must never kill the server
 
         threading.Thread(target=beat, daemon=True).start()
+        import atexit
+
+        atexit.register(stop.set)
+        return stop.set
 
     def serve_tcp(self, port: int, host: str = "127.0.0.1",
                   batch_window: float = 0.004) -> int:

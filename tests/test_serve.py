@@ -264,10 +264,13 @@ def test_serve_keepalive_thread(server):
     alpha = sm.alphabet
     q = "".join(alpha[j] for j in rng.integers(0, 20, size=22))
     before = _roundtrip(srv, [{"id": 1, "query": q, "top_k": 3}])
-    srv.start_keepalive(interval=0.05)
-    time.sleep(0.3)  # several heartbeats
-    after = _roundtrip(srv, [{"id": 1, "query": q, "top_k": 3}])
-    assert before == after
+    stop = srv.start_keepalive(interval=0.05)
+    try:
+        time.sleep(0.3)  # several heartbeats
+        after = _roundtrip(srv, [{"id": 1, "query": q, "top_k": 3}])
+        assert before == after
+    finally:
+        stop()  # a heartbeat racing interpreter teardown would abort
 
 
 def test_serve_warm_covers_single_and_stacked(server):
