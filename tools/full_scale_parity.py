@@ -78,15 +78,21 @@ def slice_fasta(src: str, dst: str, n_seqs: int) -> None:
 def run_pair(exe, query, db, mode, level, *, gap_open="3", gap_ext="1",
              timeout=3600):
     flags = ["-a", mode, "-x", str(level), "-o", gap_open, "-e", gap_ext]
-    t0 = time.perf_counter()
-    ref = subprocess.run([exe, *flags, query, db], capture_output=True,
-                         text=True, timeout=timeout)
-    ref_wall = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    mine = subprocess.run(
-        [sys.executable, "-m", "opal_tpu.cli", *flags, query, db],
-        capture_output=True, text=True, cwd=REPO, timeout=timeout)
-    my_wall = time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        ref = subprocess.run([exe, *flags, query, db], capture_output=True,
+                             text=True, timeout=timeout)
+        ref_wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mine = subprocess.run(
+            [sys.executable, "-m", "opal_tpu.cli", *flags, query, db],
+            capture_output=True, text=True, cwd=REPO, timeout=timeout)
+        my_wall = time.perf_counter() - t0
+    except subprocess.TimeoutExpired as exc:
+        # tunneled-device outages can hang a run arbitrarily long; record
+        # it and keep sweeping instead of losing the remaining configs
+        return {"match": None, "timeout": True, "timeout_s": timeout,
+                "cmd": " ".join(exc.cmd[-6:])}
     if ref.returncode != 0:
         # The reference binary CAN die on its own protocol (observed: SIGSEGV
         # in the alignment pass, P18080 -a NW -x 2 on a 15k-seq slice — its
@@ -154,14 +160,14 @@ def main():
             for level in (0, 1):
                 for mode in args.modes.split(","):
                     row = run_pair(exe, qpath, args.db_cache, mode, level)
-                    all_ok &= row["match"]
+                    all_ok &= row["match"] is not False
                     print(json.dumps({"query": qname, "mode": mode,
                                       "level": level,
                                       "n_seqs": args.n_seqs, **row}),
                           flush=True)
             for mode in args.x2_modes.split(","):
                 row = run_pair(exe, qpath, x2_db, mode, 2)
-                all_ok &= row["match"]
+                all_ok &= row["match"] is not False
                 print(json.dumps({"query": qname, "mode": mode, "level": 2,
                                   "n_seqs": args.x2_seqs, **row}), flush=True)
     print(json.dumps({"all_match": all_ok}), flush=True)
