@@ -141,7 +141,11 @@ def main():
     ap.add_argument("--n-seqs", type=int, default=541762)
     ap.add_argument("--x2-seqs", type=int, default=15000)
     ap.add_argument("--modes", default="SW,NW,HW,OV")
-    ap.add_argument("--x2-modes", default="SW,NW")
+    ap.add_argument("--levels", default="0,1",
+                    help="comma-separated x levels for the full-DB sweep "
+                         "(lets a resumed sweep skip completed configs)")
+    ap.add_argument("--x2-modes", default="SW,NW",
+                    help="modes for the x2 slice stage; empty string skips it")
     ap.add_argument("--db-cache", default="/tmp/opal_tpu_synth_full.fasta")
     args = ap.parse_args()
 
@@ -157,7 +161,7 @@ def main():
 
         for qname in args.query.split(","):
             qpath = os.path.join(QUERY_DIR, f"{qname}.fasta")
-            for level in (0, 1):
+            for level in [int(x) for x in args.levels.split(",") if x]:
                 for mode in args.modes.split(","):
                     row = run_pair(exe, qpath, args.db_cache, mode, level)
                     all_ok &= row["match"] is not False
@@ -165,7 +169,7 @@ def main():
                                       "level": level,
                                       "n_seqs": args.n_seqs, **row}),
                           flush=True)
-            for mode in args.x2_modes.split(","):
+            for mode in [m for m in args.x2_modes.split(",") if m]:
                 row = run_pair(exe, qpath, x2_db, mode, 2)
                 all_ok &= row["match"] is not False
                 print(json.dumps({"query": qname, "mode": mode, "level": 2,
